@@ -1,0 +1,197 @@
+"""Two-view epipolar geometry: essential-matrix estimation, pose recovery,
+DLT triangulation, and the keyframe-gating metrics.
+
+TPU-native replacement for the reference's OpenCV calls:
+
+* ``cv::findEssentialMat`` / ``cv::recoverPose``
+  (reference main.cpp:568-618 ``estimateRelativePoseFromEssential``)
+  -> :func:`essential_eight_point`, :func:`decompose_essential`,
+  :func:`recover_pose` (RANSAC itself lives in :mod:`.ransac`).
+* ``cv::triangulatePoints`` (main.cpp:1249-1250) -> :func:`triangulate_dlt`.
+* ``computeMedianDisplacement`` (main.cpp:171-189) -> :func:`median_displacement`
+  — note the reference's median is the *upper* median ``sorted[n/2]``
+  (main.cpp:188,251-256); we reproduce that exactly, mask-aware.
+* ``computeParallaxAngle`` (main.cpp:200-222) -> :func:`parallax_angle_deg`.
+
+Everything works on fixed-size padded point arrays with boolean validity
+masks, in *normalized camera coordinates* (pixels divided through K), which is
+also how OpenCV's essential-matrix RANSAC operates internally. Dtype is
+float32 throughout (TPU-native); the small 9x9 / 4x4 eigenproblems are well
+conditioned in f32 because normalized coordinates are O(1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# masked statistics
+# ---------------------------------------------------------------------------
+
+def masked_upper_median(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """``sorted(values[mask])[count // 2]`` — the reference's median
+    (main.cpp:251-256). Returns 0.0 for an empty mask (main.cpp:176)."""
+    count = jnp.sum(mask.astype(jnp.int32))
+    big = jnp.asarray(jnp.finfo(values.dtype).max, values.dtype)
+    filled = jnp.where(mask, values, big)
+    s = jnp.sort(filled)
+    idx = jnp.clip(count // 2, 0, values.shape[0] - 1)
+    return jnp.where(count > 0, s[idx], jnp.zeros((), values.dtype))
+
+
+def median_displacement(pts1: jax.Array, pts2: jax.Array,
+                        mask: jax.Array) -> jax.Array:
+    """Upper-median pixel displacement of matched pairs (main.cpp:171-189)."""
+    d = jnp.linalg.norm(pts2 - pts1, axis=-1)
+    return masked_upper_median(d, mask)
+
+
+# ---------------------------------------------------------------------------
+# essential matrix
+# ---------------------------------------------------------------------------
+
+def essential_eight_point(x1: jax.Array, x2: jax.Array,
+                          weights: jax.Array) -> jax.Array:
+    """Weighted 8-point essential-matrix solve on normalized coordinates.
+
+    ``x1``, ``x2``: [N, 2] normalized coords with the epipolar constraint
+    ``x2h^T E x1h = 0``; ``weights``: [N] (0/1 mask for a minimal sample, or
+    inlier weights for a refit). Solves ``min ||W A e||`` via the smallest
+    right singular vector of ``W A`` — a direct SVD rather than an
+    eigendecomposition of ``A^T A``, which would square the condition number
+    and is too lossy in float32. Then projects onto the essential manifold
+    (singular values -> (s, s, 0)).
+    """
+    one = jnp.ones_like(x1[:, 0])
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one],
+                  axis=-1)  # [N, 9]
+    Aw = A * weights[:, None]
+    _, _, Vt9 = jnp.linalg.svd(Aw, full_matrices=True)
+    e = Vt9[-1]  # right singular vector of the smallest singular value
+    E = e.reshape(3, 3)
+    # Project to essential manifold.
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[0] + S[1]) * 0.5
+    return (U * jnp.stack([s, s, jnp.zeros_like(s)])) @ Vt
+
+
+def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """First-order (Sampson) squared epipolar error, [N], normalized coords."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)  # [N,3]
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=-1)
+    Ex1 = x1h @ E.T      # [N,3] = (E @ x1h^T)^T
+    Etx2 = x2h @ E       # [N,3] = (E^T @ x2h^T)^T
+    num = jnp.sum(x2h * Ex1, axis=-1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def decompose_essential(E: jax.Array):
+    """E -> the four (R, t) candidates (R1,t), (R1,-t), (R2,t), (R2,-t).
+
+    Mirrors cv::decomposeEssentialMat: R1 = U W V^T, R2 = U W^T V^T, t = u3,
+    with determinant sign fixes so R are proper rotations.
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # Make U, Vt proper (det +1) so R below are rotations.
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                  dtype=E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def triangulate_dlt(R1: jax.Array, t1: jax.Array, R2: jax.Array, t2: jax.Array,
+                    x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Batched two-view DLT triangulation (cv::triangulatePoints equivalent,
+    reference main.cpp:1249-1250), normalized coords.
+
+    Builds the 4x4 DLT system per correspondence and takes its smallest right
+    singular vector (batched 4x4 SVD — direct, not via ``A^T A``, to keep
+    float32 accuracy). Returns [N, 3] world points (homogeneous division
+    guarded; callers must gate on depth/parallax as the reference does).
+    """
+    P1 = jnp.concatenate([R1, t1[:, None]], axis=1)  # [3,4]
+    P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
+
+    def one(a1, a2):
+        rows = jnp.stack([
+            a1[0] * P1[2] - P1[0],
+            a1[1] * P1[2] - P1[1],
+            a2[0] * P2[2] - P2[0],
+            a2[1] * P2[2] - P2[1],
+        ])  # [4,4]
+        _, _, Vt = jnp.linalg.svd(rows)
+        Xh = Vt[-1]
+        w = Xh[3]
+        w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+        return Xh[:3] / w_safe
+
+    return jax.vmap(one)(x1, x2)
+
+
+def depths(R: jax.Array, t: jax.Array, X: jax.Array) -> jax.Array:
+    """Per-point camera-frame depth z, [N]."""
+    return X @ R[2].T + t[2]
+
+
+def cheirality_counts(Rs: jax.Array, ts: jax.Array, x1: jax.Array,
+                      x2: jax.Array, mask: jax.Array) -> jax.Array:
+    """For each of the 4 (R, t) candidates, the number of masked points that
+    triangulate in front of BOTH cameras (cv::recoverPose's vote)."""
+    eye = jnp.eye(3, dtype=Rs.dtype)
+    zero = jnp.zeros(3, dtype=Rs.dtype)
+
+    def count(R, t):
+        X = triangulate_dlt(eye, zero, R, t, x1, x2)
+        z1 = depths(eye, zero, X)
+        z2 = depths(R, t, X)
+        ok = (z1 > 0) & (z2 > 0) & mask
+        return jnp.sum(ok.astype(jnp.int32))
+
+    return jax.vmap(count)(Rs, ts)
+
+
+def recover_pose(E: jax.Array, x1: jax.Array, x2: jax.Array,
+                 mask: jax.Array):
+    """cv::recoverPose equivalent (reference main.cpp:596-601): choose the
+    (R, t) candidate with the best cheirality vote among masked inliers.
+
+    Returns (R, t, pose_inlier_mask, num_pose_inliers) where the pose-inlier
+    mask keeps inliers in front of both cameras under the winning pose.
+    """
+    Rs, ts = decompose_essential(E)
+    votes = cheirality_counts(Rs, ts, x1, x2, mask)
+    best = jnp.argmax(votes)
+    R, t = Rs[best], ts[best]
+    eye = jnp.eye(3, dtype=E.dtype)
+    zero = jnp.zeros(3, dtype=E.dtype)
+    X = triangulate_dlt(eye, zero, R, t, x1, x2)
+    pose_mask = (depths(eye, zero, X) > 0) & (depths(R, t, X) > 0) & mask
+    return R, t, pose_mask, jnp.sum(pose_mask.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# gating metrics
+# ---------------------------------------------------------------------------
+
+def parallax_angle_deg(C1: jax.Array, C2: jax.Array, X: jax.Array) -> jax.Array:
+    """Angle (degrees) between rays C1->X and C2->X, clamped acos
+    (reference main.cpp:200-222). Batched over points [N, 3]."""
+    ray1 = X - C1[None, :]
+    ray2 = X - C2[None, :]
+    n1 = jnp.linalg.norm(ray1, axis=-1)
+    n2 = jnp.linalg.norm(ray2, axis=-1)
+    cosang = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(n1 * n2, 1e-18)
+    cosang = jnp.clip(cosang, -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cosang))
+    return jnp.where((n1 < 1e-9) | (n2 < 1e-9), 0.0, ang)

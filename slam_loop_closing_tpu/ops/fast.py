@@ -1,0 +1,119 @@
+"""FAST-9/16 corner detection as dense, fixed-shape array ops.
+
+TPU-native replacement for the corner stage of ``cv::ORB`` (declared at
+reference loop_closing.hpp:72; README.md:112-115). A CPU FAST implementation
+walks pixels and early-exits per pixel; that shape of code cannot use a
+vector unit. Here the whole frame is processed as 16 shifted copies of the
+image (one per Bresenham-circle offset), giving dense [H, W] score maps that
+XLA fuses into a handful of VPU passes — every pixel is tested in parallel,
+and the same code runs under vmap over a batch of frames.
+
+Pipeline: :func:`fast_score_map` -> :func:`nms` (3x3) -> :func:`select_topk`
+(fixed keypoint budget with validity mask, README.md:114's "2000 max
+features").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 — the 16 FAST offsets (dy, dx), clockwise
+# from 12 o'clock.
+CIRCLE = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+ARC = 9  # FAST-9: need 9 contiguous circle pixels all brighter/darker
+
+
+def _shifted_ring(img: jax.Array) -> jax.Array:
+    """[16, H, W]: the image translated by each circle offset, so that
+    ``ring[k, y, x] = img[y + dy_k, x + dx_k]`` (zero-padded borders; callers
+    mask the border region anyway)."""
+    h, w = img.shape
+    pad = 3
+    p = jnp.pad(img, pad)
+    return jnp.stack([
+        jax.lax.dynamic_slice(p, (pad + dy, pad + dx), (h, w))
+        for dy, dx in CIRCLE
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def fast_score_map(img: jax.Array, threshold: float = 20.0 / 255.0) -> jax.Array:
+    """Dense FAST-9 corner score, [H, W] float32 (0 = not a corner).
+
+    A pixel is a corner if >= 9 *contiguous* circle pixels are all brighter
+    than ``center + t`` or all darker than ``center - t``. The contiguity
+    test runs as a min-filter over a length-9 circular window of the 16
+    bright/dark margins: ``max_k min_{i in window(k)} margin_i > 0``. That
+    max-min value is also the corner score — the largest threshold at which
+    the pixel remains a corner (the same "strength" semantics OpenCV uses),
+    so NMS can rank directly on it.
+    """
+    ring = _shifted_ring(img)                      # [16, H, W]
+    bright = ring - img[None] - threshold          # margin above center + t
+    dark = img[None] - ring - threshold            # margin below center - t
+
+    def arc_strength(margin):
+        # circular windows: stack margin twice, take min over each 9-window
+        m2 = jnp.concatenate([margin, margin[:ARC - 1]], axis=0)  # [24, H, W]
+        windows = jnp.stack([
+            jnp.min(jax.lax.dynamic_slice_in_dim(m2, k, ARC, axis=0), axis=0)
+            for k in range(16)
+        ])                                          # [16, H, W]
+        return jnp.max(windows, axis=0)
+
+    score = jnp.maximum(arc_strength(bright), arc_strength(dark))
+    score = jnp.maximum(score, 0.0)
+    # Zero the 3-pixel border (ring reads zero-padding there).
+    h, w = img.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(interior, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def nms(score: jax.Array, radius: int = 1) -> jax.Array:
+    """Non-maximum suppression: keep score only where it equals the local
+    max over a (2r+1)^2 window (reduce_window max — one fused XLA op)."""
+    k = 2 * radius + 1
+    local_max = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+    return jnp.where(score >= local_max, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_features", "border"))
+def select_topk(score: jax.Array, num_features: int, border: int = 19):
+    """Top-K corner selection into fixed-size arrays.
+
+    Returns (xy [K, 2] float32 pixel coords, response [K], valid [K] bool).
+    Padded slots have valid=False. ``border`` excludes keypoints whose
+    descriptor patch would leave the image (reference ORB does the same via
+    its edgeThreshold).
+    """
+    h, w = score.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    ok = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    masked = jnp.where(ok, score, 0.0)
+    flat = masked.ravel()
+    resp, idx = jax.lax.top_k(flat, num_features)
+    y = (idx // w).astype(jnp.float32)
+    x = (idx % w).astype(jnp.float32)
+    valid = resp > 0.0
+    xy = jnp.stack([x, y], axis=-1)
+    return xy, resp, valid
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "num_features",
+                                             "nms_radius", "border"))
+def detect(img: jax.Array, threshold: float = 20.0 / 255.0,
+           num_features: int = 2000, nms_radius: int = 1, border: int = 19):
+    """Full FAST detection: score -> NMS -> fixed-budget top-K."""
+    return select_topk(nms(fast_score_map(img, threshold), nms_radius),
+                       num_features, border)

@@ -1,0 +1,108 @@
+"""On-device image operations: grayscale, separable Gaussian blur, pyramid
+resize, bilinear remap (full-image undistortion).
+
+TPU-native replacement for the reference's OpenCV image plumbing:
+``cv::imread(IMREAD_GRAYSCALE)`` + ``cv::undistort`` (main.cpp:1141-1145) and
+the implicit pyramid inside cv::SIFT/cv::ORB. Images are ``float32 [H, W]``
+in [0, 1]; batches are ``[B, H, W]`` via vmap. Convolutions lower to XLA's
+conv ops which tile onto the MXU; everything else is VPU-friendly
+elementwise/gather code with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from slam_loop_closing_tpu.ops import camera as camera_ops
+
+
+def rgb_to_gray(img: jax.Array) -> jax.Array:
+    """[H, W, 3] -> [H, W] using the BT.601 weights OpenCV uses."""
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    return img @ w
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jax.Array:
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "radius"))
+def gaussian_blur(img: jax.Array, sigma: float, radius: int | None = None) -> jax.Array:
+    """Separable Gaussian blur with reflect padding, [H, W] float32."""
+    k = gaussian_kernel1d(sigma, radius)
+    r = (k.shape[0] - 1) // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "VALID")[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :], (1, 1), "VALID")[0, 0]
+    return x
+
+
+def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Sample ``img`` [H, W] at continuous (x, y) positions ``xy`` [..., 2]
+    with bilinear interpolation and edge clamping."""
+    h, w = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize (align-corners=False convention, like cv::resize)."""
+    h, w = img.shape
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    return bilinear_sample(img, jnp.stack([gx, gy], axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def undistort_image(img: jax.Array, K: jax.Array, dist: jax.Array) -> jax.Array:
+    """Full-image undistortion: for every output pixel, apply the *forward*
+    distortion model to find the source pixel and bilinearly sample — the
+    remap formulation of ``cv::undistort`` (reference main.cpp:1114,1145).
+
+    The default pipeline avoids this (keypoint-only undistortion in
+    :mod:`.camera` is cheaper); provided for exact image-level parity.
+    """
+    h, w = img.shape
+    us = jnp.arange(w, dtype=jnp.float32)
+    vs = jnp.arange(h, dtype=jnp.float32)
+    gu, gv = jnp.meshgrid(us, vs)
+    uv = jnp.stack([gu.ravel(), gv.ravel()], axis=-1)
+    src = camera_ops.distort_points_batch(K, dist, uv)
+    return bilinear_sample(img, src.reshape(h, w, 2))
+
+
+def pyramid(img: jax.Array, num_levels: int, scale_factor: float,
+            blur_sigma: float = 1.0):
+    """ORB-style image pyramid: level L is the input downscaled by
+    ``scale_factor**L`` (with a light anti-alias blur). Returns a list of
+    arrays (static shapes per level, so each level jit-compiles once)."""
+    levels = [img]
+    h, w = img.shape
+    for lvl in range(1, num_levels):
+        s = scale_factor ** lvl
+        nh, nw = max(8, int(round(h / s))), max(8, int(round(w / s)))
+        levels.append(resize_bilinear(gaussian_blur(levels[-1], blur_sigma),
+                                      nh, nw))
+    return levels

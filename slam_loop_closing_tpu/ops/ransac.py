@@ -1,0 +1,124 @@
+"""Batched essential-matrix RANSAC.
+
+TPU-native replacement for ``cv::findEssentialMat(RANSAC, prob=0.999,
+thresh=1.0)`` + ``cv::recoverPose`` (reference main.cpp:568-618). OpenCV runs
+an adaptive sequential hypothesize-and-verify loop; on TPU, data-dependent
+iteration counts defeat jit, so we evaluate a *fixed batch* of hypotheses in
+parallel:
+
+1. sample ``H`` 8-point minimal sets at once (Gumbel-top-k over the validity
+   mask gives distinct valid indices per hypothesis with no rejection loop);
+2. solve all ``H`` essential matrices as one batched 9x9 eigendecomposition;
+3. score all ``H x N`` Sampson errors in one shot and argmax the inlier count;
+4. refit on the winner's inliers (weighted 8-point), then recover (R, t) by
+   cheirality vote.
+
+With H = 512 the probability that no sample is outlier-free stays below the
+reference's 1 - 0.999 at inlier ratios >= ~0.29 ((1-w^8)^512 < 1e-3), which
+covers the pipeline's own acceptance gate of inlier ratio >= 0.3
+(main.cpp:40). The whole routine is jit/vmap-friendly, so verification of
+many candidate loop pairs runs as one batched call (SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_loop_closing_tpu.config import RansacConfig
+from slam_loop_closing_tpu.ops import epipolar
+
+
+class EssentialResult(NamedTuple):
+    """Result of :func:`estimate_essential_ransac` (all device arrays)."""
+
+    E: jax.Array            # [3, 3] essential matrix
+    R: jax.Array            # [3, 3] relative rotation (cam1 -> cam2)
+    t: jax.Array            # [3] unit-norm relative translation
+    inliers: jax.Array      # [N] bool Sampson-inlier mask
+    num_inliers: jax.Array  # int32
+    pose_inliers: jax.Array     # [N] bool inliers passing cheirality
+    num_pose_inliers: jax.Array  # int32
+    ok: jax.Array           # bool: reference gates (>=8 pts, >=min_inliers)
+
+
+def _sample_minimal_sets(key: jax.Array, mask: jax.Array, num_hypotheses: int,
+                         sample_size: int) -> jax.Array:
+    """[H, sample_size] distinct valid indices per hypothesis via Gumbel top-k."""
+    n = mask.shape[0]
+    g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
+    g = jnp.where(mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, sample_size)
+    return idx
+
+
+def estimate_essential_ransac(
+    x1: jax.Array,
+    x2: jax.Array,
+    mask: jax.Array,
+    key: jax.Array,
+    focal: jax.Array | float,
+    cfg: RansacConfig = RansacConfig(),
+) -> EssentialResult:
+    """Batched-RANSAC essential matrix between two normalized point sets.
+
+    Args:
+      x1, x2: [N, 2] matched points in normalized camera coordinates.
+      mask:   [N] bool validity (padded entries False).
+      key:    PRNG key for hypothesis sampling.
+      focal:  mean focal length in pixels — converts ``cfg.threshold_px``
+              into normalized units, matching OpenCV's internal scaling.
+      cfg:    static config (hypothesis budget, gates).
+    """
+    n = x1.shape[0]
+    num_valid = jnp.sum(mask.astype(jnp.int32))
+    thresh_sq = (cfg.threshold_px / focal) ** 2
+
+    idx = _sample_minimal_sets(key, mask, cfg.num_hypotheses, cfg.min_points)
+    p1 = x1[idx]  # [H, 8, 2]
+    p2 = x2[idx]
+    ones = jnp.ones(idx.shape[1:], dtype=x1.dtype)
+    Es = jax.vmap(epipolar.essential_eight_point, in_axes=(0, 0, None))(
+        p1, p2, ones)  # [H, 3, 3]
+
+    errs = jax.vmap(epipolar.sampson_error, in_axes=(0, None, None))(
+        Es, x1, x2)  # [H, N]
+    inlier_mat = (errs < thresh_sq) & mask[None, :]
+    counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=1)  # [H]
+    # Guard degenerate hypotheses: a sample with fewer than 8 valid points
+    # (num_valid < 8) produces garbage E; zero its count.
+    counts = jnp.where(num_valid >= cfg.min_points, counts, 0)
+    best = jnp.argmax(counts)
+
+    # Refit on the winning inlier set (weighted 8-point least squares).
+    best_inliers = inlier_mat[best]
+    w = best_inliers.astype(x1.dtype)
+    E = epipolar.essential_eight_point(x1, x2, w)
+    # Re-score with the refit model; keep the better of the two.
+    refit_inliers = (epipolar.sampson_error(E, x1, x2) < thresh_sq) & mask
+    refit_count = jnp.sum(refit_inliers.astype(jnp.int32))
+    use_refit = refit_count >= counts[best]
+    E = jnp.where(use_refit, E, Es[best])
+    inliers = jnp.where(use_refit, refit_inliers, best_inliers)
+    num_inliers = jnp.maximum(refit_count, counts[best])
+
+    R, t, pose_inliers, num_pose = epipolar.recover_pose(E, x1, x2, inliers)
+
+    ok = (num_valid >= cfg.min_points) & (num_inliers >= cfg.min_inliers)
+    return EssentialResult(E=E, R=R, t=t, inliers=inliers,
+                           num_inliers=num_inliers, pose_inliers=pose_inliers,
+                           num_pose_inliers=num_pose, ok=ok)
+
+
+def estimate_essential_ransac_pairs(
+    x1: jax.Array, x2: jax.Array, mask: jax.Array, keys: jax.Array,
+    focal: jax.Array | float, cfg: RansacConfig = RansacConfig(),
+) -> EssentialResult:
+    """vmap of :func:`estimate_essential_ransac` over a leading pair axis —
+    verification of all candidate loop pairs in parallel (the reference's
+    sequential hot loop #2, main.cpp:1362-1421, flattened)."""
+    return jax.vmap(
+        lambda a, b, m, k: estimate_essential_ransac(a, b, m, k, focal, cfg)
+    )(x1, x2, mask, keys)
