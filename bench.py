@@ -1,0 +1,80 @@
+"""End-to-end benchmark: frames/sec of the Version-A loop-closing pipeline
+(batched ORB front-end + banded all-pairs Hamming similarity + loop rule) on
+the available accelerator.
+
+North star (BASELINE.json): >= 500 frames/sec on a 1000-frame 1080p sequence
+on v5e-8 with the loop set matching the CPU reference. This bench runs the
+single-chip slice of that target: B frames of 1080p synthetic video through
+the full loop-detection path (device transfer included, host PNG decode
+excluded — the reference also excludes its extraction stage from the loop
+search, main.cpp:1047 vs 1362).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 500 (the north-star target).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+B = int(os.environ.get("BENCH_FRAMES", "96"))
+H = int(os.environ.get("BENCH_H", "1080"))
+W = int(os.environ.get("BENCH_W", "1920"))
+TARGET_FPS = 500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from slam_loop_closing_tpu.config import LoopConfig, OrbConfig
+    from slam_loop_closing_tpu.ops import matching, orb
+    from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
+
+    frames = orbit_sequence(num_frames=B, h=H, w=W, num_points=300)
+
+    cfg = OrbConfig(num_features=2000)  # README.md:114 budget
+    loop_cfg = LoopConfig()
+    min_gap = min(loop_cfg.min_loop_gap, max(3, B // 4))
+
+    pairs = [(i, j) for i in range(B) for j in range(0, i - min_gap + 1)]
+    pq = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    pt = jnp.asarray([p[1] for p in pairs], jnp.int32)
+
+    @jax.jit
+    def pipeline(fr):
+        feats = orb.detect_and_describe_batch(fr, cfg)
+        nfeat = jnp.sum(feats.keypoints.valid, axis=1).astype(jnp.int32)
+        counts = matching.all_pairs_good_counts(
+            feats.signed, feats.keypoints.valid, pq, pt, chunk=16)
+        sims = matching.similarity(counts, nfeat[pq], nfeat[pt])
+        loops = (sims > loop_cfg.loop_threshold) & (counts >= loop_cfg.min_matches)
+        return counts, sims, loops
+
+    fr = jnp.asarray(frames)
+    # warmup/compile
+    c, s, l = pipeline(fr)
+    c.block_until_ready()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c, s, l = pipeline(fr)
+    c.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    fps = B / dt
+
+    print(json.dumps({
+        "metric": "loop_closing_frames_per_sec_1080p",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / TARGET_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

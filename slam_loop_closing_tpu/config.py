@@ -81,6 +81,18 @@ class LoopConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class LoopVerifyConfig:
+    """Version-B single-best-loop verification gates (reference
+    main.cpp:1386-1418). Defaults are the reference's SIFT-4000 numbers;
+    scale them with the feature budget."""
+
+    min_matches: int = 300          # main.cpp:1388: need > 300 matches
+    min_inliers: int = 200          # main.cpp:1403
+    min_inlier_ratio: float = 0.6   # main.cpp:1403
+    min_pose_inliers: int = 100     # main.cpp:1407-1418
+
+
+@dataclasses.dataclass(frozen=True)
 class KeyframeConfig:
     """Version-B keyframe gates (reference main.cpp:36-44)."""
 
@@ -219,12 +231,19 @@ class MeshConfig:
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
-    """Top-level pipeline configuration bundling all the stage configs."""
+    """Top-level pipeline configuration bundling all the stage configs.
 
+    ``detector`` picks the SfM front-end: "orb" (binary, Hamming MXU path —
+    the TPU-native default) or "sift" (float, L2 GEMM path — the detector
+    the reference's main.cpp actually ships, main.cpp:497-504).
+    """
+
+    detector: str = "orb"
     orb: OrbConfig = OrbConfig()
     sift: SiftConfig = SiftConfig()
     match: MatchConfig = MatchConfig()
     loop: LoopConfig = LoopConfig()
+    loop_verify: LoopVerifyConfig = LoopVerifyConfig()
     keyframe: KeyframeConfig = KeyframeConfig()
     ransac: RansacConfig = RansacConfig()
     triangulation: TriangulationConfig = TriangulationConfig()
@@ -266,7 +285,8 @@ class PipelineConfig:
 
         _SUB = {
             "orb": OrbConfig, "sift": SiftConfig, "match": MatchConfig,
-            "loop": LoopConfig, "keyframe": KeyframeConfig,
+            "loop": LoopConfig, "loop_verify": LoopVerifyConfig,
+            "keyframe": KeyframeConfig,
             "ransac": RansacConfig, "triangulation": TriangulationConfig,
             "pgo": PgoConfig, "ba": BaConfig, "outlier": OutlierConfig,
             "camera": CameraConfig, "calibration": CalibrationConfig,

@@ -1,0 +1,627 @@
+"""The Version-B SfM pipeline: keyframing, essential-matrix odometry,
+incremental triangulation with map-point merging, loop closure, pose-graph
+optimization, alternating BA, outlier removal, OBJ export.
+
+TPU-native re-design of the reference's ``main()`` (main.cpp:1041-1685).
+The reference is a single-threaded per-frame loop of OpenCV calls; here:
+
+* the feature front-end runs vmapped over ALL frames up front (one device
+  program — the part the reference spends most of its time in);
+* the sequential keyframe pass (pose chaining is inherently serial,
+  SURVEY.md §7 "hard parts") is ONE jitted step function over a
+  fixed-capacity ``MapState`` pytree, dispatched per frame from a thin host
+  loop — all gates, RANSAC, triangulation, and map-merge scatters fused into
+  a single XLA program per frame;
+* the loop-closure search evaluates all candidate keyframe pairs as batched
+  MXU matmuls + vmapped RANSAC verification (the reference's O(K^2) hot
+  loop #2, main.cpp:1362-1421);
+* the backend (PGO + alternating BA + outlier removal) is the batched
+  machinery of :mod:`..ops.pgo`, :mod:`..ops.ba`, :mod:`..ops.outliers`.
+
+Map state is fixed-capacity padded SoA arrays (SURVEY.md §2.5): "compaction"
+never happens on device — masks carry validity, the OBJ writer drops invalid
+entries at the end.
+
+Reference quirks preserved for parity (SURVEY.md §7): unit-norm relative
+translation chaining (no scale propagation, main.cpp:1216-1219), single
+global best loop with gap = max(3, K/2) (main.cpp:1364), loop edge weight 10
+(main.cpp:1468).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_loop_closing_tpu.config import PipelineConfig, PoseGraphMethod
+from slam_loop_closing_tpu.ops import (ba, camera as camera_ops, epipolar,
+                                       lie, matching, orb, outliers, pgo,
+                                       triangulation)
+from slam_loop_closing_tpu.ops import ransac as ransac_ops
+from slam_loop_closing_tpu.utils import io as io_utils
+
+
+class MapState(NamedTuple):
+    """Fixed-capacity global map (the parallel vectors of main.cpp:1098-1108
+    as padded device arrays). The LAST slot of the point and observation
+    arrays is a trash slot: inactive scatter lanes write there, keeping every
+    shape static."""
+
+    kf_count: jax.Array       # int32 number of accepted keyframes
+    kf_frame: jax.Array       # [K] int32 source frame index per keyframe
+    poses: jax.Array          # [K, 6] world->camera params [rvec; t]
+    kp_xy: jax.Array          # [K, N, 2] undistorted pixel keypoints
+    kp_norm: jax.Array        # [K, N, 2] normalized coords
+    kp_valid: jax.Array       # [K, N] bool
+    signed: jax.Array         # [K, N, 256] int8 descriptors
+    kp_to_point: jax.Array    # [K, N] int32 track table (-1 = none)
+    points: jax.Array         # [P+1, 3] world points (last = trash)
+    point_valid: jax.Array    # [P+1] bool
+    point_count: jax.Array    # int32
+    obs_cam: jax.Array        # [O+1] int32 keyframe index (last = trash)
+    obs_point: jax.Array      # [O+1] int32
+    obs_uv: jax.Array         # [O+1, 2] float32
+    obs_valid: jax.Array      # [O+1] bool
+    obs_count: jax.Array      # int32
+
+
+def _match_descriptors(desc_q, valid_q, desc_t, valid_t, ratio: float,
+                       detector: str) -> matching.Matches:
+    """Detector-generic ratio matching: Hamming MXU matmul for the ORB +-1
+    int8 layout (main.cpp:1154's knn2+ratio with the binary path), squared-L2
+    GEMM with ratio^2 for SIFT float descriptors (main.cpp:509-534)."""
+    if detector == "sift":
+        return matching.ratio_matches(
+            matching.l2sq_matrix(desc_q, desc_t), valid_q, valid_t,
+            ratio * ratio)
+    return matching.ratio_matches(
+        matching.hamming_matrix(desc_q, desc_t), valid_q, valid_t, ratio)
+
+
+class StepInfo(NamedTuple):
+    """Per-frame diagnostics mirroring the reference's printed counters
+    (main.cpp:1202-1206, 1343-1346)."""
+
+    accepted: jax.Array       # bool keyframe accepted
+    num_matches: jax.Array    # int32
+    median_disp: jax.Array    # float32
+    num_inliers: jax.Array    # int32
+    n_triangulated: jax.Array  # int32 new points
+    n_merged: jax.Array       # int32 observations added to existing points
+    n_rejected: jax.Array     # int32 triangulation-gate rejections
+
+
+def init_map_state(max_keyframes: int, num_features: int, max_points: int,
+                   max_obs: int, desc_dim: int = 256,
+                   desc_dtype=jnp.int8) -> MapState:
+    """``desc_dim``/``desc_dtype``: (256, int8) for the ORB +-1 layout,
+    (128, float32) for SIFT."""
+    k, n = max_keyframes, num_features
+    return MapState(
+        kf_count=jnp.asarray(0, jnp.int32),
+        kf_frame=jnp.zeros((k,), jnp.int32),
+        poses=jnp.zeros((k, 6), jnp.float32),
+        kp_xy=jnp.zeros((k, n, 2), jnp.float32),
+        kp_norm=jnp.zeros((k, n, 2), jnp.float32),
+        kp_valid=jnp.zeros((k, n), bool),
+        signed=jnp.zeros((k, n, desc_dim), desc_dtype),
+        kp_to_point=jnp.full((k, n), -1, jnp.int32),
+        points=jnp.zeros((max_points + 1, 3), jnp.float32),
+        point_valid=jnp.zeros((max_points + 1,), bool),
+        point_count=jnp.asarray(0, jnp.int32),
+        obs_cam=jnp.zeros((max_obs + 1,), jnp.int32),
+        obs_point=jnp.zeros((max_obs + 1,), jnp.int32),
+        obs_uv=jnp.zeros((max_obs + 1, 2), jnp.float32),
+        obs_valid=jnp.zeros((max_obs + 1,), bool),
+        obs_count=jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _bootstrap(state: MapState, xy, norm, valid, signed,
+               frame_idx, cfg: PipelineConfig) -> MapState:
+    """Insert frame 0 as keyframe 0 with identity pose (main.cpp:1111-1132)."""
+    return state._replace(
+        kf_count=jnp.asarray(1, jnp.int32),
+        kf_frame=state.kf_frame.at[0].set(frame_idx),
+        kp_xy=state.kp_xy.at[0].set(xy),
+        kp_norm=state.kp_norm.at[0].set(norm),
+        kp_valid=state.kp_valid.at[0].set(valid),
+        signed=state.signed.at[0].set(signed),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _sfm_step(state: MapState, xy, norm, valid, signed, frame_idx, key,
+              K: jax.Array, cfg: PipelineConfig):
+    """One candidate frame through the keyframe gates and (if accepted) map
+    extension — the body of the reference's hot loop #1 (main.cpp:1138-1351)
+    as a single fused XLA program. Always returns a same-shape MapState;
+    rejection = returning the input state."""
+    kcfg = cfg.keyframe
+    last = state.kf_count - 1
+    last_xy = state.kp_xy[last]
+    last_norm = state.kp_norm[last]
+    last_valid = state.kp_valid[last]
+    last_signed = state.signed[last]
+
+    # --- match current frame vs last keyframe (main.cpp:1154) -------------
+    m = _match_descriptors(signed, valid, last_signed, last_valid,
+                           cfg.match.ratio_threshold, cfg.detector)
+
+    xq = xy                      # current-frame keypoints (query rows)
+    xt = last_xy[m.idx]          # matched last-keyframe keypoints
+    med = epipolar.median_displacement(xq, xt, m.mask)
+
+    # --- essential-matrix RANSAC (main.cpp:1186) --------------------------
+    focal = (K[0, 0] + K[1, 1]) * 0.5
+    res = ransac_ops.estimate_essential_ransac(
+        last_norm[m.idx], norm, m.mask, key, focal, cfg.ransac)
+    # res.R, res.t: last-keyframe cam -> current cam (x2 = R x1 + t).
+
+    inlier_ratio = res.num_inliers.astype(jnp.float32) / jnp.maximum(
+        m.count.astype(jnp.float32), 1.0)
+    accept = ((m.count >= kcfg.min_tracked_features)
+              & (med >= kcfg.min_median_displacement)
+              & (med <= kcfg.max_median_displacement)
+              & res.ok
+              & (res.num_inliers >= kcfg.min_inliers)
+              & (inlier_ratio >= kcfg.min_inlier_ratio)
+              & (state.kf_count < state.kp_xy.shape[0]))
+
+    new_state = _extend_map(state, xy, norm, valid, signed, frame_idx,
+                            res, m, K, cfg)
+    out = jax.tree.map(lambda a, b: jnp.where(accept, b, a), state, new_state)
+    info = StepInfo(
+        accepted=accept, num_matches=m.count, median_disp=med,
+        num_inliers=res.num_inliers,
+        n_triangulated=jnp.where(accept, new_state.point_count
+                                 - state.point_count, 0),
+        n_merged=jnp.where(
+            accept,
+            new_state.obs_count - state.obs_count
+            - 2 * (new_state.point_count - state.point_count), 0),
+        n_rejected=jnp.asarray(0, jnp.int32))
+    return out, info
+
+
+def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
+                res: ransac_ops.EssentialResult, m: matching.Matches,
+                K: jax.Array, cfg: PipelineConfig) -> MapState:
+    """Chain the pose, triangulate gated inliers, merge into the map via the
+    track table (main.cpp:1216-1341)."""
+    last = state.kf_count - 1
+    new_kf = state.kf_count
+    R_last, t_last = lie.params_to_pose(state.poses[last])
+    # Unit-norm t chaining — NO scale propagation (main.cpp:1216-1219).
+    R_new, t_new = lie.compose(res.R, res.t, R_last, t_last)
+    new_pose = lie.pose_to_params(R_new, t_new)
+
+    last_norm = state.kp_norm[last]
+    last_xy = state.kp_xy[last]
+    x1 = last_norm[m.idx]   # last keyframe, per query row
+    x2 = norm               # current frame
+    uv1 = last_xy[m.idx]
+    uv2 = xy
+    pair_mask = m.mask & res.inliers
+
+    tri = triangulation.triangulate_gated(
+        K, R_last, t_last, R_new, t_new, x1, x2, uv1, uv2, pair_mask,
+        cfg.triangulation)
+
+    # --- merge (main.cpp:1261-1341) --------------------------------------
+    track_last = state.kp_to_point[last]       # [N]
+    existing_pid = track_last[m.idx]           # [N] (per query row)
+    has_existing = pair_mask & (existing_pid >= 0)
+    make_new = pair_mask & (existing_pid < 0) & tri.accept
+
+    p_cap = state.points.shape[0] - 1
+    o_cap = state.obs_cam.shape[0] - 1
+
+    n_new = jnp.sum(make_new.astype(jnp.int32))
+    new_rank = jnp.cumsum(make_new.astype(jnp.int32)) - 1
+    new_slot = state.point_count + new_rank
+    in_p_cap = make_new & (new_slot < p_cap)
+    p_idx = jnp.where(in_p_cap, new_slot, p_cap)
+
+    points = state.points.at[p_idx].set(
+        jnp.where(in_p_cap[:, None], tri.X, state.points[p_idx]))
+    point_valid = state.point_valid.at[p_idx].set(
+        jnp.where(in_p_cap, True, state.point_valid[p_idx]))
+    point_count = jnp.minimum(state.point_count + n_new, p_cap)
+
+    # Point id each matched keypoint ends up with.
+    final_pid = jnp.where(has_existing, existing_pid,
+                          jnp.where(in_p_cap, p_idx, -1))
+
+    # Observation appends: 1 per existing match (new kf only) + 2 per new
+    # point (last kf + new kf).
+    n_exist = jnp.sum(has_existing.astype(jnp.int32))
+    exist_rank = jnp.cumsum(has_existing.astype(jnp.int32)) - 1
+    base = state.obs_count
+    e_idx = jnp.where(has_existing, base + exist_rank, o_cap)
+    e_idx = jnp.minimum(e_idx, o_cap)
+
+    base2 = jnp.minimum(base + n_exist, o_cap)
+    pair_rank = jnp.cumsum(in_p_cap.astype(jnp.int32)) - 1
+    a_idx = jnp.where(in_p_cap, base2 + 2 * pair_rank, o_cap)
+    b_idx = jnp.where(in_p_cap, base2 + 2 * pair_rank + 1, o_cap)
+    a_idx = jnp.minimum(a_idx, o_cap)
+    b_idx = jnp.minimum(b_idx, o_cap)
+
+    obs_cam = (state.obs_cam
+               .at[e_idx].set(jnp.where(has_existing, new_kf,
+                                        state.obs_cam[e_idx]))
+               .at[a_idx].set(jnp.where(in_p_cap, new_kf,
+                                        state.obs_cam[a_idx])))
+    obs_cam = obs_cam.at[b_idx].set(
+        jnp.where(in_p_cap, last, obs_cam[b_idx]))
+    obs_point = (state.obs_point
+                 .at[e_idx].set(jnp.where(has_existing, final_pid,
+                                          state.obs_point[e_idx]))
+                 .at[a_idx].set(jnp.where(in_p_cap, final_pid,
+                                          state.obs_point[a_idx])))
+    obs_point = obs_point.at[b_idx].set(
+        jnp.where(in_p_cap, final_pid, obs_point[b_idx]))
+    obs_uv = (state.obs_uv
+              .at[e_idx].set(jnp.where(has_existing[:, None], uv2,
+                                       state.obs_uv[e_idx]))
+              .at[a_idx].set(jnp.where(in_p_cap[:, None], uv2,
+                                       state.obs_uv[a_idx])))
+    obs_uv = obs_uv.at[b_idx].set(
+        jnp.where(in_p_cap[:, None], uv1, obs_uv[b_idx]))
+    obs_valid = (state.obs_valid
+                 .at[e_idx].set(jnp.where(has_existing, True,
+                                          state.obs_valid[e_idx]))
+                 .at[a_idx].set(jnp.where(in_p_cap, True,
+                                          state.obs_valid[a_idx])))
+    obs_valid = obs_valid.at[b_idx].set(
+        jnp.where(in_p_cap, True, obs_valid[b_idx]))
+    obs_count = jnp.minimum(base2 + 2 * jnp.sum(in_p_cap.astype(jnp.int32)),
+                            o_cap)
+
+    # Track tables: new frame rows index by query keypoint; ALSO backfill the
+    # last keyframe's table for newly created points (both views now track).
+    track_new = jnp.where(pair_mask & (final_pid >= 0), final_pid, -1)
+    track_last_new = track_last.at[m.idx].set(
+        jnp.where(in_p_cap, final_pid, track_last[m.idx]))
+
+    # Zero the trash slots.
+    points = points.at[p_cap].set(0.0)
+    point_valid = point_valid.at[p_cap].set(False)
+    obs_valid = obs_valid.at[o_cap].set(False)
+
+    return state._replace(
+        kf_count=state.kf_count + 1,
+        kf_frame=state.kf_frame.at[new_kf].set(frame_idx),
+        poses=state.poses.at[new_kf].set(new_pose),
+        kp_xy=state.kp_xy.at[new_kf].set(xy),
+        kp_norm=state.kp_norm.at[new_kf].set(norm),
+        kp_valid=state.kp_valid.at[new_kf].set(valid),
+        signed=state.signed.at[new_kf].set(signed),
+        kp_to_point=(state.kp_to_point
+                     .at[last].set(track_last_new)
+                     .at[new_kf].set(track_new)),
+        points=points, point_valid=point_valid, point_count=point_count,
+        obs_cam=obs_cam, obs_point=obs_point, obs_uv=obs_uv,
+        obs_valid=obs_valid, obs_count=obs_count)
+
+
+# ---------------------------------------------------------------------------
+# loop-closure search over keyframes (main.cpp:1362-1421)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("ratio", "chunk", "detector"))
+def _pair_ratio_counts(signed, kp_valid, pair_q, pair_t, ratio=0.7, chunk=4,
+                       detector="orb"):
+    """Ratio-test match counts for candidate keyframe pairs (the loop search
+    matches with ratio 0.7, main.cpp:1386)."""
+    def one(qi, ti):
+        m = _match_descriptors(signed[qi], kp_valid[qi], signed[ti],
+                               kp_valid[ti], ratio, detector)
+        return m.count
+
+    p = pair_q.shape[0]
+    pad = (-p) % chunk
+    pq = jnp.concatenate([pair_q, jnp.zeros((pad,), pair_q.dtype)])
+    pt = jnp.concatenate([pair_t, jnp.zeros((pad,), pair_t.dtype)])
+    counts = jax.lax.map(lambda c: jax.vmap(one)(c[0], c[1]),
+                         (pq.reshape(-1, chunk), pt.reshape(-1, chunk)))
+    return counts.reshape(-1)[:p]
+
+
+@dataclasses.dataclass
+class LoopResult:
+    found: bool
+    curr_kf: int = -1
+    past_kf: int = -1
+    num_matches: int = 0
+    num_inliers: int = 0
+    num_pose_inliers: int = 0
+    R_rel: np.ndarray | None = None   # past cam -> curr cam
+    t_rel: np.ndarray | None = None
+    inlier_pairs: tuple[np.ndarray, np.ndarray] | None = None  # (q_idx, t_idx)
+
+
+@dataclasses.dataclass
+class SfMResult:
+    state: MapState
+    infos: list[StepInfo]
+    loop: LoopResult
+    reproj_before_ba: float
+    reproj_after_ba: float
+    reproj_final: float
+    obj_path: str | None
+
+
+class SfMPipeline:
+    """Host driver orchestrating the jitted stages (see module docstring).
+
+    ``run(frames)`` reproduces the reference ``main()`` end to end:
+    front-end -> keyframe scan -> loop search -> PGO -> BA -> outlier
+    removal -> BA -> OBJ.
+    """
+
+    def __init__(self, config: PipelineConfig | None = None,
+                 max_keyframes: int = 256, max_points: int = 65536,
+                 max_obs: int = 262144, log=print):
+        self.config = config or PipelineConfig()
+        self.max_keyframes = max_keyframes
+        self.max_points = max_points
+        self.max_obs = max_obs
+        self.log = log
+        cam = self.config.camera
+        self.K = jnp.asarray(cam.K, jnp.float32)
+        self.dist = jnp.asarray(cam.dist_coeffs, jnp.float32)
+
+    # -- front-end ---------------------------------------------------------
+
+    def _frontend(self, frames: np.ndarray):
+        """Batched feature front-end (ORB or SIFT per config.detector) +
+        keypoint undistortion for every frame. Returns
+        (descriptors [B, N, D], keypoint xy, valid, undistorted xy,
+        normalized xy)."""
+        fr = jnp.asarray(frames, jnp.float32)
+        if self.config.detector == "sift":
+            from slam_loop_closing_tpu.ops import sift as sift_ops
+
+            f = sift_ops.detect_and_describe_batch(fr, self.config.sift)
+            desc, xy, valid = f.descriptors, f.xy, f.valid
+        else:
+            f = orb.detect_and_describe_batch(fr, self.config.orb)
+            desc, xy, valid = f.signed, f.keypoints.xy, f.keypoints.valid
+        und = jax.vmap(camera_ops.undistort_points_batch,
+                       in_axes=(None, None, 0))(self.K, self.dist, xy)
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        norm = (und - jnp.stack([cx, cy])) / jnp.stack([fx, fy])
+        return desc, valid, und, norm
+
+    # -- keyframe scan -----------------------------------------------------
+
+    def run_frontend_and_keyframes(self, frames: np.ndarray):
+        if self.config.detector == "sift":
+            n = self.config.sift.num_features
+            desc_dim, desc_dtype = 128, jnp.float32
+        else:
+            n = self.config.orb.num_features
+            desc_dim, desc_dtype = 256, jnp.int8
+        state = init_map_state(self.max_keyframes, n, self.max_points,
+                               self.max_obs, desc_dim, desc_dtype)
+        desc, valid, und, norm = self._frontend(frames)
+        state = _bootstrap(state, und[0], norm[0], valid[0], desc[0],
+                           jnp.asarray(0, jnp.int32), self.config)
+        infos = []
+        key = jax.random.PRNGKey(42)
+        for f in range(1, frames.shape[0]):
+            key, sub = jax.random.split(key)
+            state, info = _sfm_step(state, und[f], norm[f], valid[f],
+                                    desc[f],
+                                    jnp.asarray(f, jnp.int32), sub, self.K,
+                                    self.config)
+            infos.append(info)
+        k = int(state.kf_count)
+        self.log(f"Keyframes accepted: {k} / {frames.shape[0]} frames; "
+                 f"points: {int(state.point_count)}; "
+                 f"observations: {int(state.obs_count)}")
+        return state, infos
+
+    # -- loop search -------------------------------------------------------
+
+    def find_loop(self, state: MapState) -> LoopResult:
+        """Single global best loop (main.cpp:1362-1421): candidate pairs with
+        gap = max(3, K/2), ratio-0.7 matching > 300 matches, essential RANSAC
+        verify with inliers > 200 and ratio > 0.6, best inlier count wins,
+        recoverPose must keep > 100."""
+        k = int(state.kf_count)
+        gap = max(3, k // 2)
+        pairs = [(c, p) for c in range(gap, k) for p in range(0, c - gap + 1)]
+        if not pairs:
+            return LoopResult(found=False)
+        pq = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        pt = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        counts = np.asarray(_pair_ratio_counts(
+            state.signed, state.kp_valid, pq, pt,
+            self.config.match.loop_ratio_threshold,
+            detector=self.config.detector))
+        lv = self.config.loop_verify
+        cand = [i for i, c in enumerate(counts) if c > lv.min_matches]
+        if not cand:
+            return LoopResult(found=False)
+
+        # Verify the candidates with batched RANSAC (vmapped over pairs).
+        focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
+        best = LoopResult(found=False)
+        key = jax.random.PRNGKey(7)
+        for i in cand:
+            c, p = pairs[i]
+            m = _match_descriptors(
+                state.signed[c], state.kp_valid[c], state.signed[p],
+                state.kp_valid[p], self.config.match.loop_ratio_threshold,
+                self.config.detector)
+            key, sub = jax.random.split(key)
+            res = ransac_ops.estimate_essential_ransac(
+                state.kp_norm[p][m.idx], state.kp_norm[c], m.mask, sub,
+                focal, self.config.ransac)
+            ninl = int(res.num_inliers)
+            ratio = ninl / max(int(m.count), 1)
+            if (ninl > lv.min_inliers and ratio > lv.min_inlier_ratio
+                    and ninl > best.num_inliers):
+                npos = int(res.num_pose_inliers)
+                if npos > lv.min_pose_inliers:
+                    q_idx = np.arange(len(np.asarray(m.idx)))
+                    mask = np.asarray(res.pose_inliers)
+                    best = LoopResult(
+                        found=True, curr_kf=c, past_kf=p,
+                        num_matches=int(m.count), num_inliers=ninl,
+                        num_pose_inliers=npos,
+                        R_rel=np.asarray(res.R), t_rel=np.asarray(res.t),
+                        inlier_pairs=(q_idx[mask],
+                                      np.asarray(m.idx)[mask]))
+        if best.found:
+            self.log(f"Loop closure: keyframe {best.curr_kf} <-> "
+                     f"{best.past_kf} ({best.num_inliers} inliers, "
+                     f"{best.num_pose_inliers} pose inliers)")
+        else:
+            self.log("No loop closure found")
+        return best
+
+    # -- backend -----------------------------------------------------------
+
+    def optimize(self, state: MapState, loop: LoopResult) -> MapState:
+        """PGO with the loop constraint (main.cpp:1423-1515)."""
+        if not loop.found:
+            return state
+        k = int(state.kf_count)
+        params = state.poses[:k]
+        if self.config.pgo.method == PoseGraphMethod.GAUSS_NEWTON:
+            g = pgo.build_trajectory_graph(
+                params, jnp.asarray(loop.past_kf), jnp.asarray(loop.curr_kf),
+                jnp.asarray(loop.R_rel), jnp.asarray(loop.t_rel),
+                self.config.pgo.loop_edge_weight)
+            drift0 = float(pgo.total_cost(params, g))
+            opt, costs = pgo.optimize_pose_graph(params, g, self.config.pgo)
+            self.log(f"PGO cost: {drift0:.6f} -> {float(costs[-1]):.6f}")
+        else:
+            opt = pgo.simple_pose_correction(
+                params, jnp.asarray(loop.past_kf), jnp.asarray(loop.curr_kf),
+                jnp.asarray(loop.R_rel))
+        poses = state.poses.at[:k].set(opt)
+        state = state._replace(poses=poses)
+        return self._add_loop_observations(state, loop)
+
+    def _add_loop_observations(self, state: MapState,
+                               loop: LoopResult) -> MapState:
+        """Add cross-observations of existing points between the loop frames
+        via the track table (main.cpp:1494-1514). Host-side appends (runs
+        once per reconstruction)."""
+        qi, ti = loop.inlier_pairs
+        track_c = np.asarray(state.kp_to_point[loop.curr_kf])
+        track_p = np.asarray(state.kp_to_point[loop.past_kf])
+        uv_c = np.asarray(state.kp_xy[loop.curr_kf])
+        uv_p = np.asarray(state.kp_xy[loop.past_kf])
+        cams, pids, uvs = [], [], []
+        for q, t in zip(qi, ti):
+            pid_c, pid_p = track_c[q], track_p[t]
+            if pid_p >= 0 and pid_c < 0:
+                cams.append(loop.curr_kf), pids.append(pid_p), uvs.append(uv_c[q])
+            elif pid_c >= 0 and pid_p < 0:
+                cams.append(loop.past_kf), pids.append(pid_c), uvs.append(uv_p[t])
+        if not cams:
+            return state
+        base = int(state.obs_count)
+        o_cap = state.obs_cam.shape[0] - 1
+        count = min(len(cams), o_cap - base)
+        sl = slice(base, base + count)
+        self.log(f"Added {count} loop observations")
+        return state._replace(
+            obs_cam=state.obs_cam.at[sl].set(np.asarray(cams[:count],
+                                                        np.int32)),
+            obs_point=state.obs_point.at[sl].set(np.asarray(pids[:count],
+                                                            np.int32)),
+            obs_uv=state.obs_uv.at[sl].set(np.asarray(uvs[:count],
+                                                      np.float32)),
+            obs_valid=state.obs_valid.at[sl].set(True),
+            obs_count=jnp.asarray(base + count, jnp.int32))
+
+    def bundle_adjust(self, state: MapState,
+                      outer_iterations: int | None = None):
+        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
+                              state.obs_valid)
+        cp, pts, errs = ba.alternating_ba(
+            self.K, state.poses, state.points, obs, state.point_valid,
+            self.config.ba, outer_iterations)
+        return state._replace(poses=cp, points=pts), errs
+
+    def remove_outliers(self, state: MapState) -> MapState:
+        k_mask = jnp.arange(state.poses.shape[0]) < state.kf_count
+        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
+                              state.obs_valid)
+        res = outliers.remove_outliers(
+            self.K, state.poses, k_mask, state.points, state.point_valid,
+            obs, self.config.outlier)
+        n_out = int(res.n_behind) + int(res.n_reproj) + int(res.n_far)
+        before = max(int(res.n_points_before), 1)
+        self.log(f"Outlier removal: {n_out} / {before} points "
+                 f"({100.0 * n_out / before:.1f}%) removed "
+                 f"[behind={int(res.n_behind)} reproj={int(res.n_reproj)} "
+                 f"far={int(res.n_far)}]")
+        return state._replace(point_valid=res.point_valid,
+                              obs_valid=res.obs_valid)
+
+    # -- end-to-end --------------------------------------------------------
+
+    def run(self, frames: np.ndarray, data_dir: str = "data",
+            write_obj: bool = True, checkpoint: bool = False) -> SfMResult:
+        """Full reconstruction. With ``checkpoint`` the map state is saved
+        after the front-end and after PGO (NPZ under
+        <data_dir>/checkpoints/), and a matching existing front-end
+        checkpoint is reused — extending the reference's skip-if-exists
+        extraction cache (main.cpp:97-100) to the compute stages."""
+        from slam_loop_closing_tpu.utils import checkpoint as ckpt
+
+        infos: list[StepInfo] = []
+        fe_path = ckpt.stage_checkpoint_path(data_dir, "frontend")
+        if checkpoint and fe_path.exists():
+            self.log(f"Resuming map state from {fe_path}")
+            state = ckpt.load_map_state(fe_path)
+        else:
+            state, infos = self.run_frontend_and_keyframes(frames)
+            if checkpoint:
+                ckpt.save_map_state(fe_path, state)
+        loop = self.find_loop(state)
+        state = self.optimize(state, loop)
+        if checkpoint:
+            ckpt.save_map_state(
+                ckpt.stage_checkpoint_path(data_dir, "pgo"), state)
+
+        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
+                              state.obs_valid)
+        e0 = float(ba.mean_reprojection_error(self.K, state.poses,
+                                              state.points, obs))
+        state, errs = self.bundle_adjust(state)
+        e1 = float(errs[-1])
+        self.log(f"Mean reprojection error: {e0:.3f} -> {e1:.3f} px (BA)")
+
+        state = self.remove_outliers(state)
+        state, errs2 = self.bundle_adjust(state, outer_iterations=3)
+        e2 = float(errs2[-1])
+        self.log(f"Final reprojection error: {e2:.3f} px")
+
+        obj_path = None
+        if write_obj:
+            k = int(state.kf_count)
+            Rs, ts = lie.params_to_pose_batch(state.poses[:k])
+            obj_path = str(io_utils.write_obj(
+                io_utils.reconstruction_obj_path(data_dir),
+                np.asarray(state.points[:-1]), np.asarray(Rs), np.asarray(ts),
+                point_valid=np.asarray(state.point_valid[:-1]),
+                log=self.log))
+        return SfMResult(state=state, infos=infos, loop=loop,
+                         reproj_before_ba=e0, reproj_after_ba=e1,
+                         reproj_final=e2, obj_path=obj_path)

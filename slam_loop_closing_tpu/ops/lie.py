@@ -65,19 +65,23 @@ def so3_log(R: jax.Array) -> jax.Array:
     """Rotation matrix -> axis-angle 3-vector (inverse Rodrigues).
 
     Robust at theta -> 0 (Taylor) and theta -> pi (diagonal extraction).
+    AUTODIFF-SAFE: theta comes from ``atan2(sin, cos)``, never ``arccos``,
+    whose derivative diverges at theta = 0 — with arccos the PGO edge
+    Jacobians turn NaN exactly at convergence (R_pred^T R_to -> I).
     """
     trace = jnp.clip(jnp.trace(R), -1.0, 3.0)
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    w = vee(R - R.T)  # = 2 sin(theta) * axis
+    w = vee(R - R.T) * 0.5  # = sin(theta) * axis
+    sin_sq = jnp.dot(w, w)
+    sin_theta = jnp.sqrt(sin_sq + 1e-30)
+    theta = jnp.arctan2(sin_theta, cos_theta)
 
-    # Generic branch: rvec = theta / (2 sin theta) * w, Taylor near 0.
-    sin_theta = jnp.sin(theta)
-    near_zero = theta < 1e-4
+    near_zero = (sin_sq < 1e-10) & (cos_theta > 0.0)
     near_pi = theta > jnp.pi - 1e-3
-    # safe denominator for the generic formula
-    denom = jnp.where(near_zero | near_pi, 1.0, 2.0 * sin_theta)
-    factor = jnp.where(near_zero, 0.5 + theta * theta / 12.0, theta / denom)
+    # Generic: rvec = theta / sin(theta) * w; near zero the Taylor series
+    # theta/sin(theta) = 1 + sin^2/6 + O(sin^4) is a smooth polynomial in R.
+    sin_safe = jnp.where(near_zero, 1.0, sin_theta)
+    factor = jnp.where(near_zero, 1.0 + sin_sq / 6.0, theta / sin_safe)
     rvec_generic = factor * w
 
     # Near pi: axis from the largest diagonal of (R + I)/2 = aa^T (theta=pi).

@@ -1,0 +1,188 @@
+"""Descriptor matching on the MXU: Hamming / L2 brute-force matching and the
+all-pairs frame-similarity matrix.
+
+TPU-native replacement for the reference's matcher hot loops:
+
+* ``cv::BFMatcher(NORM_L2).knnMatch`` + Lowe ratio (main.cpp:509-534) ->
+  :func:`l2sq_matrix` + :func:`knn2` + :func:`ratio_matches`.
+* ``cv::BFMatcher(NORM_HAMMING)`` + "keep dist < 2 x min dist"
+  (loop_closing.hpp:40,73; README.md:116-117) -> :func:`hamming_matrix` +
+  :func:`nn_matches_2xmin`.
+* the O(K^2) loop-closure similarity search (main.cpp:1362-1421;
+  README.md:119-126) -> :func:`all_pairs_good_counts`, which evaluates every
+  candidate frame pair as batched int8 matmuls.
+
+The core trick (SURVEY.md §7 "popcount on TPU"): with descriptors encoded as
++-1 int8 vectors, ``dot(a, b) = bits - 2 * hamming(a, b)``, so Hamming
+distance rides the 128x128 systolic array as an int8 matmul instead of a
+scalar XOR/popcount loop — this is where the Gpairs/sec headline metric
+lives. Invalid (padded) rows are all-zero in the signed layout, giving
+``dot = 0`` -> ``dist = bits/2``; correctness always comes from the explicit
+validity masks, never from the padding values.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_loop_closing_tpu.ops.descriptors import BITS
+
+BIG = jnp.int32(2 ** 30)
+BIG_F = 1e30
+
+
+def hamming_matrix(signed_q: jax.Array, signed_t: jax.Array) -> jax.Array:
+    """[M, 256] x [N, 256] int8 +-1 -> [M, N] int32 Hamming distances via one
+    MXU matmul: ``ham = (BITS - q @ t^T) / 2``."""
+    dots = jax.lax.dot_general(
+        signed_q, signed_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (BITS - dots) >> 1
+
+
+def l2sq_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[M, D] x [N, D] float -> [M, N] squared L2 via the GEMM expansion
+    ``|a|^2 - 2ab + |b|^2`` (one MXU matmul + rank-1 corrections)."""
+    dots = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    na = jnp.sum(a.astype(jnp.float32) ** 2, axis=1)
+    nb = jnp.sum(b.astype(jnp.float32) ** 2, axis=1)
+    return jnp.maximum(na[:, None] - 2.0 * dots + nb[None, :], 0.0)
+
+
+def _mask_dist(dist: jax.Array, valid_q: jax.Array,
+               valid_t: jax.Array) -> jax.Array:
+    big = BIG if jnp.issubdtype(dist.dtype, jnp.integer) else jnp.asarray(
+        BIG_F, dist.dtype)
+    dist = jnp.where(valid_t[None, :], dist, big)
+    return jnp.where(valid_q[:, None], dist, big)
+
+
+class Knn2(NamedTuple):
+    idx1: jax.Array  # [M] int32 nearest-neighbor index
+    d1: jax.Array    # [M] nearest distance
+    d2: jax.Array    # [M] second-nearest distance
+
+
+def knn2(dist: jax.Array, valid_q: jax.Array, valid_t: jax.Array) -> Knn2:
+    """Per-query top-2 nearest neighbors (the k=2 of cv::knnMatch), computed
+    as two masked row-min reductions (cheaper than a sort on TPU)."""
+    d = _mask_dist(dist, valid_q, valid_t)
+    idx1 = jnp.argmin(d, axis=1).astype(jnp.int32)
+    d1 = jnp.take_along_axis(d, idx1[:, None], axis=1)[:, 0]
+    n = d.shape[1]
+    cols = jnp.arange(n, dtype=jnp.int32)
+    d_wo = jnp.where(cols[None, :] == idx1[:, None],
+                     BIG if jnp.issubdtype(d.dtype, jnp.integer)
+                     else jnp.asarray(BIG_F, d.dtype), d)
+    d2 = jnp.min(d_wo, axis=1)
+    return Knn2(idx1=idx1, d1=d1, d2=d2)
+
+
+class Matches(NamedTuple):
+    """Fixed-shape match set: one (optional) target index per query row."""
+
+    idx: jax.Array    # [M] int32 target index (meaningful only where mask)
+    dist: jax.Array   # [M] match distance
+    mask: jax.Array   # [M] bool
+    count: jax.Array  # int32 number of matches
+
+
+def ratio_matches(dist: jax.Array, valid_q: jax.Array, valid_t: jax.Array,
+                  ratio: float) -> Matches:
+    """Lowe-ratio-test matching (reference main.cpp:509-534): keep the NN when
+    ``d1 < ratio * d2``. Distances are compared in the metric given (use
+    squared L2 with ``ratio**2``; callers here pass linear-metric wrappers)."""
+    k = knn2(dist, valid_q, valid_t)
+    d1f = k.d1.astype(jnp.float32)
+    d2f = k.d2.astype(jnp.float32)
+    mask = valid_q & (d1f < ratio * d2f) & (d1f < BIG_F / 2)
+    return Matches(idx=k.idx1, dist=k.d1, mask=mask,
+                   count=jnp.sum(mask.astype(jnp.int32)))
+
+
+def ratio_matches_l2(desc_q: jax.Array, valid_q: jax.Array, desc_t: jax.Array,
+                     valid_t: jax.Array, ratio: float) -> Matches:
+    """SIFT-path matcher: squared-L2 GEMM + ratio test on squared distances
+    (``d1 < r*d2  <=>  d1^2 < r^2*d2^2``), matching cv::BFMatcher NORM_L2."""
+    return ratio_matches(l2sq_matrix(desc_q, desc_t), valid_q, valid_t,
+                         ratio * ratio)
+
+
+def nn_matches_2xmin(signed_q: jax.Array, valid_q: jax.Array,
+                     signed_t: jax.Array, valid_t: jax.Array,
+                     scale: float = 2.0) -> Matches:
+    """Version-A ORB matching rule (README.md:116-117): NN match per query
+    descriptor, keep matches with ``dist < scale * min_dist`` where min_dist
+    is the minimum NN distance over this pair's matches."""
+    dist = hamming_matrix(signed_q, signed_t)
+    d = _mask_dist(dist, valid_q, valid_t)
+    idx1 = jnp.argmin(d, axis=1).astype(jnp.int32)
+    d1 = jnp.take_along_axis(d, idx1[:, None], axis=1)[:, 0]
+    row_ok = valid_q & (d1 < BIG // 2)
+    dmin = jnp.min(jnp.where(row_ok, d1, BIG))
+    # max(2*min, 1): when the best distance is 0 the reference's strict
+    # '< 2*min' would reject everything including perfect matches; OpenCV
+    # tutorials use max(2*min, small) — we keep perfect matches matchable.
+    thr = jnp.maximum((dmin * scale).astype(d1.dtype), 1)
+    mask = row_ok & (d1 < thr)
+    return Matches(idx=idx1, dist=d1, mask=mask,
+                   count=jnp.sum(mask.astype(jnp.int32)))
+
+
+def good_count_pair(signed_q, valid_q, signed_t, valid_t,
+                    scale: float = 2.0) -> jax.Array:
+    """Good-match count for one frame pair (the all-pairs inner kernel)."""
+    return nn_matches_2xmin(signed_q, valid_q, signed_t, valid_t, scale).count
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "chunk"))
+def all_pairs_good_counts(signed: jax.Array, valid: jax.Array,
+                          pair_q: jax.Array, pair_t: jax.Array,
+                          scale: float = 2.0, chunk: int = 8) -> jax.Array:
+    """Good-match counts for an explicit list of frame pairs.
+
+    ``signed``: [F, N, 256] int8; ``valid``: [F, N] bool; ``pair_q/t``: [P]
+    frame indices (pad with 0 — callers mask). Evaluated as ``lax.map`` over
+    chunks of vmapped pairs: each chunk is ``chunk`` int8 matmuls of
+    [N, 256] @ [256, N] on the MXU, with only the [N] row-mins kept, so HBM
+    traffic stays at O(chunk * N^2) transient instead of O(P * N^2).
+
+    This one call replaces the reference's sequential loop-closure search
+    (hot loop #2, main.cpp:1362-1421) and the Version-A ``detectLoops``
+    similarity scan (README.md:119-126).
+    """
+    p = pair_q.shape[0]
+    pad = (-p) % chunk
+    pq = jnp.concatenate([pair_q, jnp.zeros((pad,), pair_q.dtype)])
+    pt = jnp.concatenate([pair_t, jnp.zeros((pad,), pair_t.dtype)])
+
+    def one(qi, ti):
+        return good_count_pair(signed[qi], valid[qi], signed[ti], valid[ti],
+                               scale)
+
+    def body(c):
+        return jax.vmap(one)(c[0], c[1])
+
+    counts = jax.lax.map(body, (pq.reshape(-1, chunk), pt.reshape(-1, chunk)))
+    return counts.reshape(-1)[:p]
+
+
+def similarity(counts: jax.Array, nq: jax.Array, nt: jax.Array) -> jax.Array:
+    """Version-A similarity score ``matches / min(n1, n2)`` (README.md:121)."""
+    denom = jnp.minimum(nq, nt).astype(jnp.float32)
+    return counts.astype(jnp.float32) / jnp.maximum(denom, 1.0)
+
+
+def gather_matched_points(xy_q: jax.Array, xy_t: jax.Array,
+                          m: Matches) -> tuple[jax.Array, jax.Array]:
+    """``extractMatchedPoints`` equivalent (reference main.cpp:539-556):
+    fixed-shape gathers of the matched (query, target) pixel pairs; rows where
+    ``m.mask`` is False are padding."""
+    return xy_q, xy_t[m.idx]

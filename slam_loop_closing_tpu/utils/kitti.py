@@ -1,0 +1,61 @@
+"""KITTI odometry dataset adapter (BASELINE.json configs[4]: seq 00 loop
+detection). The dataset is not bundled; everything here gates on the
+directory existing and raises a clear error otherwise.
+
+Expected layout (standard KITTI odometry):
+  <root>/sequences/<seq>/image_0/%06d.png   grayscale left camera
+  <root>/sequences/<seq>/calib.txt          P0 projection matrix
+  <root>/poses/<seq>.txt                    ground-truth poses (optional)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def available(root: str | Path, seq: str = "00") -> bool:
+    return (Path(root) / "sequences" / seq / "image_0").is_dir()
+
+
+def frame_paths(root: str | Path, seq: str = "00") -> list[Path]:
+    d = Path(root) / "sequences" / seq / "image_0"
+    if not d.is_dir():
+        raise FileNotFoundError(
+            f"KITTI sequence not found at {d}; download the odometry "
+            "grayscale set and point --kitti-root at it")
+    return sorted(d.glob("*.png"))
+
+
+def load_intrinsics(root: str | Path, seq: str = "00") -> np.ndarray:
+    """K from the P0 line of calib.txt."""
+    calib = Path(root) / "sequences" / seq / "calib.txt"
+    for line in calib.read_text().splitlines():
+        if line.startswith("P0:"):
+            vals = np.fromstring(line[3:], sep=" ").reshape(3, 4)
+            return vals[:, :3]
+    raise ValueError(f"P0 not found in {calib}")
+
+
+def load_gt_poses(root: str | Path, seq: str = "00") -> np.ndarray | None:
+    """[N, 3, 4] cam-to-world ground-truth poses, or None if absent."""
+    p = Path(root) / "poses" / f"{seq}.txt"
+    if not p.exists():
+        return None
+    rows = np.loadtxt(str(p))
+    return rows.reshape(-1, 3, 4)
+
+
+def gt_loop_pairs(poses: np.ndarray, dist_thresh: float = 10.0,
+                  min_gap: int = 100) -> list[tuple[int, int]]:
+    """Ground-truth loop closures: frame pairs whose camera centers are
+    within ``dist_thresh`` meters with index gap >= ``min_gap`` (the standard
+    place-recognition ground truth for seq 00)."""
+    C = poses[:, :, 3]
+    out = []
+    for i in range(len(C)):
+        d = np.linalg.norm(C[: max(i - min_gap + 1, 0)] - C[i], axis=1)
+        for j in np.flatnonzero(d < dist_thresh):
+            out.append((i, int(j)))
+    return out

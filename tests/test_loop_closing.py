@@ -1,0 +1,92 @@
+"""End-to-end Version-A loop detection on a synthetic orbit video: the
+camera closes a full loop, so loops MUST fire near the final frames and must
+NOT fire mid-sequence (ground truth by construction)."""
+
+import numpy as np
+import pytest
+import dataclasses
+
+from slam_loop_closing_tpu.config import (LoopConfig, MatchConfig, OrbConfig,
+                                          PipelineConfig, RansacConfig)
+from slam_loop_closing_tpu.models.loop_closing import LoopClosingSystem
+from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return dataclasses.replace(
+        PipelineConfig(),
+        orb=OrbConfig(num_features=300, num_levels=2),
+        loop=LoopConfig(loop_threshold=0.15, min_loop_gap=20, frame_skip=1),
+        ransac=RansacConfig(num_hypotheses=128),
+    )
+
+
+@pytest.fixture(scope="module")
+def orbit_frames():
+    return orbit_sequence(num_frames=32, h=144, w=192, num_points=250,
+                          seed=3)
+
+
+class TestBatched:
+    def test_loops_fire_at_closure(self, small_cfg, orbit_frames):
+        sys_ = LoopClosingSystem(small_cfg, max_frames=32)
+        loops = sys_.process_video(orbit_frames)
+        assert loops, "no loop closures on a closed-loop trajectory"
+        # every loop must respect the gap
+        for c in loops:
+            assert c.current_frame_id - c.matched_frame_id >= 20
+        # at least one loop connects the final quarter to the first quarter
+        assert any(c.current_frame_id >= 24 and c.matched_frame_id <= 8
+                   for c in loops)
+
+    def test_save_results_format(self, small_cfg, orbit_frames, tmp_path):
+        sys_ = LoopClosingSystem(small_cfg, max_frames=32)
+        sys_.process_video(orbit_frames)
+        out = sys_.save_results(tmp_path)
+        text = out.read_text()
+        assert "Loop Closure Detection Results" in text
+        assert "Loop closures detected:" in text
+        n = len(sys_.get_loop_closures())
+        assert f"Loop closures detected: {n}" in text
+        if n:
+            c = sys_.get_loop_closures()[0]
+            assert (f"Loop closure: frame {c.current_frame_id} <-> "
+                    f"frame {c.matched_frame_id}") in text
+            assert (tmp_path / f"loop_{c.current_frame_id}_"
+                    f"{c.matched_frame_id}.png").exists()
+
+
+class TestIncremental:
+    def test_matches_batched_loops(self, small_cfg, orbit_frames):
+        """Frame-by-frame processing must find the same loop set as the
+        batched path (the two code paths share kernels)."""
+        a = LoopClosingSystem(small_cfg, max_frames=32)
+        a.process_video(orbit_frames)
+        set_a = {(c.current_frame_id, c.matched_frame_id)
+                 for c in a.get_loop_closures()}
+
+        b = LoopClosingSystem(small_cfg, max_frames=32)
+        for i in range(orbit_frames.shape[0]):
+            b.process_frame(orbit_frames[i])
+        set_b = {(c.current_frame_id, c.matched_frame_id)
+                 for c in b.get_loop_closures()}
+        assert set_a == set_b
+
+    def test_pose_estimated_between_consecutive(self, small_cfg,
+                                                orbit_frames):
+        sys_ = LoopClosingSystem(small_cfg, max_frames=8)
+        for i in range(4):
+            sys_.process_frame(orbit_frames[i])
+        # consecutive orbit frames have a valid relative pose (non-identity)
+        f1 = sys_.frames[1]
+        assert not np.allclose(f1.pose, np.eye(4))
+        # rotation part orthonormal
+        R = f1.pose[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+    def test_triangulation_produces_points(self, small_cfg, orbit_frames):
+        sys_ = LoopClosingSystem(small_cfg, max_frames=8)
+        sys_.process_frame(orbit_frames[0])
+        sys_.process_frame(orbit_frames[1])
+        assert len(sys_.frames[1].points3d) > 10

@@ -1,0 +1,51 @@
+"""Pallas kernel tests (interpret mode on CPU): the fused Hamming-NN kernel
+and the fused FAST+NMS kernel must match their XLA reference paths exactly."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from slam_loop_closing_tpu.ops import descriptors as desc_ops
+from slam_loop_closing_tpu.ops import fast, matching, pallas_kernels
+
+
+def random_signed(rng, n):
+    bits = (rng.random((n, 256)) > 0.5).astype(np.uint8)
+    return desc_ops.bits_to_signed(jnp.asarray(bits))
+
+
+class TestHammingNN:
+    def test_matches_xla_rowmin(self, rng):
+        sq = random_signed(rng, 70)
+        st = random_signed(rng, 90)
+        vt = jnp.asarray(np.arange(90) < 80)
+        d1, idx = pallas_kernels.hamming_nn(sq, st, vt, tile_m=64,
+                                            interpret=True)
+        dist = np.asarray(matching.hamming_matrix(sq, st)).astype(np.int64)
+        dist[:, 80:] = 2 ** 30
+        np.testing.assert_array_equal(np.asarray(d1), dist.min(1))
+        np.testing.assert_array_equal(np.asarray(idx), dist.argmin(1))
+
+    def test_good_count_matches_reference(self, rng):
+        sq = random_signed(rng, 60)
+        st = random_signed(rng, 60)
+        vq = jnp.asarray(np.arange(60) < 50)
+        vt = jnp.asarray(np.arange(60) < 55)
+        ref = int(matching.good_count_pair(
+            jnp.where(vq[:, None], sq, 0), vq,
+            jnp.where(vt[:, None], st, 0), vt))
+        got = int(pallas_kernels.good_count_pair_pallas(
+            jnp.where(vq[:, None], sq, 0), vq,
+            jnp.where(vt[:, None], st, 0), vt, interpret=True))
+        assert got == ref
+
+
+class TestFastKernel:
+    def test_matches_xla_path(self, rng):
+        img = np.zeros((64, 96), np.float32)
+        img[20:36, 30:50] = 1.0
+        img += rng.normal(0, 0.01, img.shape).astype(np.float32)
+        ref = np.asarray(fast.nms(fast.fast_score_map(jnp.asarray(img))))
+        got = np.asarray(pallas_kernels.fast_score_nms(jnp.asarray(img),
+                                                       interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
