@@ -40,7 +40,8 @@ class OrbConfig:
     descriptor_bits: int = 256      # README.md:115: 256-bit binary descriptors
     nms_radius: int = 1             # 3x3 non-max suppression
     pattern_seed: int = 17          # deterministic rBRIEF sampling-pattern seed
-    border: int = 19                # keypoint exclusion border (patch half + margin)
+    brief_bins: int = 30            # quantized pattern rotations (12 deg steps)
+    border: int = 19                # keypoint exclusion border (>= patch half 16)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,9 +96,7 @@ class LoopClosingSystem:
         self.max_frames = max_frames
         self.log = log
         n = self.config.orb.num_features
-        self._pattern = jnp.asarray(orb.make_pattern(
-            self.config.orb.pattern_seed, self.config.orb.descriptor_bits,
-            self.config.orb.patch_size))
+        self._pattern = orb.brief_matrices(self.config.orb)
         # Device-side frame database (functional updates via .at[]).
         self._db_signed = jnp.zeros((max_frames, n, 256), jnp.int8)
         self._db_valid = jnp.zeros((max_frames, n), bool)

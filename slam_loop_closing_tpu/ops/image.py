@@ -35,16 +35,23 @@ def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("sigma", "radius"))
 def gaussian_blur(img: jax.Array, sigma: float, radius: int | None = None) -> jax.Array:
-    """Separable Gaussian blur with reflect padding, [H, W] float32."""
+    """Separable Gaussian blur with reflect padding, [H, W] float32.
+
+    Implemented as unrolled static-shift multiply-adds per axis (pure VPU
+    work XLA fuses into a couple of passes) — measured much faster on TPU
+    than lowering through conv_general_dilated for single-channel images."""
     k = gaussian_kernel1d(sigma, radius)
     r = (k.shape[0] - 1) // 2
+    h, w = img.shape
     x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID")[0, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID")[0, 0]
-    return x
+    out = k[0] * x[0:h, :]
+    for i in range(1, 2 * r + 1):
+        out = out + k[i] * x[i:i + h, :]
+    x = jnp.pad(out, ((0, 0), (r, r)), mode="reflect")
+    out = k[0] * x[:, 0:w]
+    for i in range(1, 2 * r + 1):
+        out = out + k[i] * x[:, i:i + w]
+    return out
 
 
 def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
@@ -67,12 +74,11 @@ def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Bilinear resize (align-corners=False convention, like cv::resize)."""
-    h, w = img.shape
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
-    gx, gy = jnp.meshgrid(xs, ys)
-    return bilinear_sample(img, jnp.stack([gx, gy], axis=-1))
+    """Bilinear resize (align-corners=False convention, like cv::resize).
+
+    Uses jax.image.resize, which lowers to per-axis interpolation matmuls —
+    far faster on TPU than a gather-based sampling formulation."""
+    return jax.image.resize(img, (out_h, out_w), method="bilinear")
 
 
 @functools.partial(jax.jit, static_argnames=())

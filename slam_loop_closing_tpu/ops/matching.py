@@ -127,10 +127,11 @@ def nn_matches_2xmin(signed_q: jax.Array, valid_q: jax.Array,
     d1 = jnp.take_along_axis(d, idx1[:, None], axis=1)[:, 0]
     row_ok = valid_q & (d1 < BIG // 2)
     dmin = jnp.min(jnp.where(row_ok, d1, BIG))
-    # max(2*min, 1): when the best distance is 0 the reference's strict
-    # '< 2*min' would reject everything including perfect matches; OpenCV
-    # tutorials use max(2*min, small) — we keep perfect matches matchable.
-    thr = jnp.maximum((dmin * scale).astype(d1.dtype), 1)
+    # max(2*min, 30): with a strict '< 2*min' a single perfect duplicate
+    # (min dist 0 — common once descriptors are discretized) collapses the
+    # threshold and rejects every real match; the max(2*min, 30) floor is
+    # the standard OpenCV-matcher convention for 256-bit ORB.
+    thr = jnp.maximum((dmin * scale).astype(d1.dtype), 30)
     mask = row_ok & (d1 < thr)
     return Matches(idx=idx1, dist=d1, mask=mask,
                    count=jnp.sum(mask.astype(jnp.int32)))
@@ -138,7 +139,14 @@ def nn_matches_2xmin(signed_q: jax.Array, valid_q: jax.Array,
 
 def good_count_pair(signed_q, valid_q, signed_t, valid_t,
                     scale: float = 2.0) -> jax.Array:
-    """Good-match count for one frame pair (the all-pairs inner kernel)."""
+    """Good-match count for one frame pair (the all-pairs inner kernel).
+    On TPU this dispatches to the fused Pallas NN kernel (the [N, N]
+    distance block never leaves VMEM); elsewhere the XLA path runs."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        return pallas_kernels.good_count_pair_pallas(
+            signed_q, valid_q, signed_t, valid_t, scale)
     return nn_matches_2xmin(signed_q, valid_q, signed_t, valid_t, scale).count
 
 

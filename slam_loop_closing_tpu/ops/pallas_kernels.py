@@ -126,7 +126,8 @@ def good_count_pair_pallas(signed_q, valid_q, signed_t, valid_t,
     d1, idx = hamming_nn(signed_q, signed_t, valid_t, interpret=interpret)
     row_ok = valid_q & (d1 < _BIG // 2)
     dmin = jnp.min(jnp.where(row_ok, d1, _BIG))
-    thr = jnp.maximum((dmin * scale).astype(d1.dtype), 1)
+    # max(2*min, 30) floor — must mirror matching.nn_matches_2xmin exactly
+    thr = jnp.maximum((dmin * scale).astype(d1.dtype), 30)
     return jnp.sum((row_ok & (d1 < thr)).astype(jnp.int32))
 
 
@@ -140,23 +141,33 @@ from slam_loop_closing_tpu.ops.fast import ARC, CIRCLE  # noqa: E402
 _PAD = 8  # halo padding; 8 keeps every dynamic row start sublane-aligned
 
 
-def _fast_kernel(img_ref, score_ref, *, threshold: float, h: int, w: int,
-                 tile_h: int):
-    """Row-tiled fused FAST-9 score + 3x3 NMS. The padded image stays whole
-    in VMEM (one [H+16, W+16] buffer); each grid step reads ONE 8-aligned
-    [TH+16, W+16] block (Mosaic requires dynamic sublane starts to be
-    8-aligned, hence the aligned superset read) and takes the 16 ring-shifted
-    views as static in-register slices. Tiling bounds live margin buffers to
-    O(TH x W) so 1080p fits the 16 MB VMEM budget (a whole-image formulation
-    needs ~28 MB of stack)."""
-    i = pl.program_id(0)
+def _fast_kernel(img_hbm, score_ref, block_ref, sem, *, threshold: float,
+                 h: int, w: int, tile_h: int, batched: bool):
+    """Row-tiled fused FAST-9 score + 3x3 NMS. The padded image stays in
+    HBM; each grid step DMAs ONE 8-aligned [TH+16, W+16] block into VMEM
+    scratch (whole-image VMEM residency blows the 16 MB budget once the call
+    is batched over frames) and takes the 16 ring-shifted views as static
+    in-register slices. Tiling bounds live margin buffers to O(TH x W).
+    ``batched``: leading frame axis in the grid (pallas_call over ANY-space
+    inputs cannot be vmapped, so batching is a grid dimension here)."""
+    if batched:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        src = img_hbm.at[b]
+    else:
+        i = pl.program_id(0)
+        src = img_hbm
     row0 = i * tile_h          # multiple of tile_h (itself a multiple of 8)
     the = tile_h + 2           # one extra row each side for the NMS halo
     we = w + 2
 
-    # Aligned superset block: padded rows [row0, row0 + tile_h + 16) cover
-    # unpadded rows [row0 - 8, row0 + tile_h + 8).
-    block = img_ref[pl.ds(row0, tile_h + 16), :]
+    # DMA the aligned superset block: padded rows [row0, row0 + tile_h + 16)
+    # cover unpadded rows [row0 - 8, row0 + tile_h + 8).
+    dma = pltpu.make_async_copy(
+        src.at[pl.ds(row0, tile_h + 16), :], block_ref, sem)
+    dma.start()
+    dma.wait()
+    block = block_ref[...]
 
     def shifted(dy, dx):
         # unpadded row (row0 - 1 + dy + k) -> block row (7 + dy + k); static.
@@ -201,30 +212,76 @@ def _fast_kernel(img_ref, score_ref, *, threshold: float, h: int, w: int,
             shifted_s = pltpu.roll(shifted_s, (-dx) % we, 1)
             local_max = jnp.maximum(local_max, shifted_s)
     out = jnp.where(score >= local_max, score, 0.0)
-    score_ref[...] = out[1:1 + tile_h, 1:1 + w]
+    cropped = out[1:1 + tile_h, 1:1 + w]
+    score_ref[...] = cropped[None] if batched else cropped
+
+
+def _fast_call_single(img, threshold, tile_h, interpret):
+    h, w = img.shape
+    hp = (-h) % tile_h
+    # DMA slices must be 128-lane aligned: pad the width up to a multiple.
+    wp_extra = (-(w + 2 * _PAD)) % 128
+    padded = jnp.pad(img, ((_PAD, _PAD + hp), (_PAD, _PAD + wp_extra)))
+    out = pl.pallas_call(
+        functools.partial(_fast_kernel, threshold=threshold, h=h, w=w,
+                          tile_h=tile_h, batched=False),
+        grid=((h + hp) // tile_h,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h + hp, w), img.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 16, w + 2 * _PAD + wp_extra), img.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    return out[:h]
+
+
+def _fast_call_batched(imgs, threshold, tile_h, interpret):
+    b, h, w = imgs.shape
+    hp = (-h) % tile_h
+    wp_extra = (-(w + 2 * _PAD)) % 128
+    padded = jnp.pad(imgs, ((0, 0), (_PAD, _PAD + hp),
+                            (_PAD, _PAD + wp_extra)))
+    out = pl.pallas_call(
+        functools.partial(_fast_kernel, threshold=threshold, h=h, w=w,
+                          tile_h=tile_h, batched=True),
+        grid=(b, (h + hp) // tile_h),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h + hp, w), imgs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 16, w + 2 * _PAD + wp_extra), imgs.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    return out[:, :h]
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h",
                                              "interpret"))
 def fast_score_nms(img: jax.Array, threshold: float = 20.0 / 255.0,
                    tile_h: int = 16, interpret: bool = False) -> jax.Array:
-    """Fused FAST-9 score + 3x3 NMS, [H, W] -> [H, W], row-tiled."""
-    h, w = img.shape
+    """Fused FAST-9 score + 3x3 NMS, [H, W] -> [H, W], row-tiled.
+
+    vmap-safe: pallas_call over an ANY-memory-space input cannot be vmapped,
+    so a custom batching rule reroutes vmap to a grid-batched kernel."""
     assert tile_h % 8 == 0, "tile_h must be sublane-aligned"
-    hp = (-h) % tile_h
-    padded = jnp.pad(img, ((_PAD, _PAD + hp), (_PAD, _PAD)))
-    out = pl.pallas_call(
-        functools.partial(_fast_kernel, threshold=threshold, h=h, w=w,
-                          tile_h=tile_h),
-        grid=((h + hp) // tile_h,),
-        in_specs=[pl.BlockSpec(padded.shape, lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h + hp, w), img.dtype),
-        interpret=interpret,
-    )(padded)
-    return out[:h]
+
+    @jax.custom_batching.custom_vmap
+    def run(x):
+        return _fast_call_single(x, threshold, tile_h, interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, xs):
+        del axis_size
+        return _fast_call_batched(xs, threshold, tile_h, interpret), True
+
+    return run(img)
 
 
 # ---------------------------------------------------------------------------
