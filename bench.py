@@ -41,17 +41,13 @@ def main():
     loop_cfg = LoopConfig()
     min_gap = min(loop_cfg.min_loop_gap, max(3, B // 4))
 
-    pairs = [(i, j) for i in range(B) for j in range(0, i - min_gap + 1)]
-    pq = jnp.asarray([p[0] for p in pairs], jnp.int32)
-    pt = jnp.asarray([p[1] for p in pairs], jnp.int32)
-
     @jax.jit
     def pipeline(fr):
         feats = orb.detect_and_describe_batch(fr, cfg)
         nfeat = jnp.sum(feats.keypoints.valid, axis=1).astype(jnp.int32)
-        counts = matching.all_pairs_good_counts(
-            feats.signed, feats.keypoints.valid, pq, pt, chunk=16)
-        sims = matching.similarity(counts, nfeat[pq], nfeat[pt])
+        counts = matching.banded_pair_counts(
+            feats.signed, feats.keypoints.valid, min_gap, block=8)
+        sims = matching.similarity(counts, nfeat[:, None], nfeat[None, :])
         loops = (sims > loop_cfg.loop_threshold) & (counts >= loop_cfg.min_matches)
         return counts, sims, loops
 

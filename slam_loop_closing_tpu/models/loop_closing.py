@@ -69,15 +69,20 @@ class Frame:
 def _loop_scores(cur_signed, cur_nfeat, db_signed, db_valid, db_nfeat,
                  frame_mask, scale=2.0):
     """Good-match counts + similarity of the current frame against the whole
-    padded frame database (one banded similarity-matrix row)."""
+    padded frame database (one banded similarity-matrix row) — a single
+    [N, D] @ [D, F*N] matmul via block_pair_counts."""
     cur_valid = (jnp.arange(cur_signed.shape[0]) < cur_nfeat)
-
-    def one(args):
-        sgn, val = args
-        return matching.good_count_pair(cur_signed, cur_valid, sgn, val,
-                                        scale)
-
-    counts = jax.lax.map(one, (db_signed, db_valid))
+    f, n, d = db_signed.shape
+    tb = 16  # target block: bounds the transient [N, tb*N] distance block
+    pad = (-f) % tb
+    sp = jnp.pad(db_signed, ((0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(db_valid, ((0, pad), (0, 0)))
+    sblocks = sp.reshape(-1, tb, n, d)
+    vblocks = vp.reshape(-1, tb, n)
+    counts = jax.lax.map(
+        lambda args: matching.block_pair_counts(
+            cur_signed[None], cur_valid[None], args[0], args[1], scale)[0],
+        (sblocks, vblocks)).reshape(-1)[:f]
     counts = jnp.where(frame_mask, counts, 0)
     sim = matching.similarity(counts, cur_nfeat, db_nfeat)
     sim = jnp.where(frame_mask, sim, 0.0)
@@ -264,25 +269,24 @@ class LoopClosingSystem:
         nfeat = jnp.sum(feats.keypoints.valid, axis=1).astype(jnp.int32)
 
         cfg = self.config.loop
-        pairs = [(i, j) for i in range(b)
-                 for j in range(0, i - cfg.min_loop_gap + 1)]
         new_loops: list[LoopCandidate] = []
-        if pairs:
-            pq = jnp.asarray([p[0] for p in pairs], jnp.int32)
-            pt = jnp.asarray([p[1] for p in pairs], jnp.int32)
-            counts = matching.all_pairs_good_counts(
-                feats.signed, feats.keypoints.valid, pq, pt,
+        if b > cfg.min_loop_gap:
+            counts = matching.banded_pair_counts(
+                feats.signed, feats.keypoints.valid, cfg.min_loop_gap,
                 self.config.match.hamming_filter_scale)
-            sims = matching.similarity(counts, nfeat[pq], nfeat[pt])
+            sims = matching.similarity(counts, nfeat[:, None],
+                                       nfeat[None, :])
             counts = np.asarray(counts)
             sims = np.asarray(sims)
-            for k, (i, j) in enumerate(pairs):
-                if (sims[k] > cfg.loop_threshold
-                        and counts[k] >= cfg.min_matches):
-                    cand = LoopCandidate(ids[i], ids[j], int(counts[k]),
-                                         float(sims[k]))
-                    new_loops.append(cand)
-                    self.loop_closures.append(cand)
+            for i in range(cfg.min_loop_gap, b):
+                for j in range(0, i - cfg.min_loop_gap + 1):
+                    if (sims[i, j] > cfg.loop_threshold
+                            and counts[i, j] >= cfg.min_matches):
+                        cand = LoopCandidate(ids[i], ids[j],
+                                             int(counts[i, j]),
+                                             float(sims[i, j]))
+                        new_loops.append(cand)
+                        self.loop_closures.append(cand)
 
         # Mirror state into the incremental structures for save_results.
         self._db_signed = self._db_signed.at[:b].set(feats.signed)
@@ -321,26 +325,26 @@ class LoopClosingSystem:
         nfeat = jnp.sum(valid, axis=2).astype(jnp.int32)
 
         gap = cfg.loop.min_loop_gap
-        pairs = [(i, j) for i in range(b) for j in range(0, i - gap + 1)]
-        if not pairs:
+        if b <= gap:
             return [[] for _ in range(v)]
-        pq = jnp.asarray([p[0] for p in pairs], jnp.int32)
-        pt = jnp.asarray([p[1] for p in pairs], jnp.int32)
-        counts = jax.vmap(
-            lambda s, va: matching.all_pairs_good_counts(
-                s, va, pq, pt, cfg.match.hamming_filter_scale))(signed, valid)
-        sims = jax.vmap(matching.similarity)(counts, nfeat[:, pq],
-                                             nfeat[:, pt])
+        counts = jax.lax.map(
+            lambda args: matching.banded_pair_counts(
+                args[0], args[1], gap, cfg.match.hamming_filter_scale),
+            (signed, valid))                                   # [V, B, B]
+        sims = jax.vmap(matching.similarity)(
+            counts, nfeat[:, :, None], nfeat[:, None, :])
         counts = np.asarray(counts)
         sims = np.asarray(sims)
         out: list[list[LoopCandidate]] = []
         for vid in range(v):
             loops = []
-            for k, (i, j) in enumerate(pairs):
-                if (sims[vid, k] > cfg.loop.loop_threshold
-                        and counts[vid, k] >= cfg.loop.min_matches):
-                    loops.append(LoopCandidate(i, j, int(counts[vid, k]),
-                                               float(sims[vid, k])))
+            for i in range(gap, b):
+                for j in range(0, i - gap + 1):
+                    if (sims[vid, i, j] > cfg.loop.loop_threshold
+                            and counts[vid, i, j] >= cfg.loop.min_matches):
+                        loops.append(LoopCandidate(
+                            i, j, int(counts[vid, i, j]),
+                            float(sims[vid, i, j])))
             out.append(loops)
         return out
 

@@ -150,6 +150,105 @@ def good_count_pair(signed_q, valid_q, signed_t, valid_t,
     return nn_matches_2xmin(signed_q, valid_q, signed_t, valid_t, scale).count
 
 
+@functools.partial(jax.jit, static_argnames=("scale",))
+def block_pair_counts(signed_q: jax.Array, valid_q: jax.Array,
+                      signed_t: jax.Array, valid_t: jax.Array,
+                      scale: float = 2.0) -> jax.Array:
+    """Good-match counts of EVERY query frame against EVERY target frame:
+    [Fq, N, D] x [Ft, N, D] -> [Fq, Ft].
+
+    One matmul per QUERY FRAME against the whole flattened target block
+    ([N, D] @ [D, Ft*N]) followed by a segmented row-min — instead of one
+    small matmul per frame pair. Large matmuls are where the MXU lives:
+    per-pair formulation measured ~0.44 ms/pair on v5e; this runs the same
+    arithmetic at a fraction of that. Memory: the [N, Ft*N] distance block
+    is transient per query frame (sequential lax.map), so callers control
+    peak usage via the target block size.
+    """
+    ft, n, d = signed_t.shape
+    tflat = signed_t.reshape(ft * n, d)
+    vflat = valid_t.reshape(ft * n)
+
+    def one_query(args):
+        sq, vq = args
+        dots = jax.lax.dot_general(
+            sq, tflat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)       # [N, Ft*N]
+        dist = (BITS - dots) >> 1
+        dist = jnp.where(vflat[None, :], dist, BIG)
+        d1 = jnp.min(dist.reshape(n, ft, n), axis=2)  # [N, Ft]
+        row_ok = vq[:, None] & (d1 < BIG // 2)
+        dmin = jnp.min(jnp.where(row_ok, d1, BIG), axis=0)     # [Ft]
+        thr = jnp.maximum((dmin * scale).astype(d1.dtype), 30)
+        return jnp.sum((row_ok & (d1 < thr[None, :])).astype(jnp.int32),
+                       axis=0)                       # [Ft]
+
+    return jax.lax.map(one_query, (signed_q, valid_q))
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "t_block"))
+def dense_pair_counts(signed: jax.Array, valid: jax.Array,
+                      scale: float = 2.0, t_block: int = 16) -> jax.Array:
+    """Full [F, F] good-match-count matrix via :func:`block_pair_counts`
+    over target blocks of ``t_block`` frames (bounds the transient distance
+    block to N x t_block*N). This is the production all-pairs path for the
+    loop-similarity matrix; band-mask afterwards."""
+    f, n, d = signed.shape
+    pad = (-f) % t_block
+    sp = jnp.pad(signed, ((0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(valid, ((0, pad), (0, 0)))
+    nb = (f + pad) // t_block
+    sblocks = sp.reshape(nb, t_block, n, d)
+    vblocks = vp.reshape(nb, t_block, n)
+
+    def per_tblock(args):
+        st, vt = args
+        return block_pair_counts(signed, valid, st, vt, scale)  # [F, tb]
+
+    cols = jax.lax.map(per_tblock, (sblocks, vblocks))  # [nb, F, tb]
+    counts = jnp.transpose(cols, (1, 0, 2)).reshape(f, (f + pad))
+    return counts[:, :f]
+
+
+@functools.partial(jax.jit, static_argnames=("min_gap", "scale", "block"))
+def banded_pair_counts(signed: jax.Array, valid: jax.Array, min_gap: int,
+                       scale: float = 2.0, block: int = 16) -> jax.Array:
+    """[F, F] good-match counts restricted to the loop band
+    ``target <= query - min_gap`` (everything else 0): the production
+    loop-similarity path. Work is scheduled as block x block frame tiles and
+    only tiles intersecting the band are computed — for the reference's
+    gap-30 rule this skips the upper triangle plus the diagonal strip
+    (~55% of a dense evaluation)."""
+    f, n, d = signed.shape
+    pad = (-f) % block
+    sp = jnp.pad(signed, ((0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(valid, ((0, pad), (0, 0)))
+    nb = (f + pad) // block
+    sblocks = sp.reshape(nb, block, n, d)
+    vblocks = vp.reshape(nb, block, n)
+
+    bpairs = [(qb, tb) for qb in range(nb) for tb in range(nb)
+              if tb * block <= qb * block + block - 1 - min_gap]
+    if not bpairs:
+        return jnp.zeros((f, f), jnp.int32)
+    qidx = jnp.asarray([p[0] for p in bpairs], jnp.int32)
+    tidx = jnp.asarray([p[1] for p in bpairs], jnp.int32)
+
+    def per(args):
+        qb, tb = args
+        return block_pair_counts(sblocks[qb], vblocks[qb],
+                                 sblocks[tb], vblocks[tb], scale)
+
+    tiles = jax.lax.map(per, (qidx, tidx))          # [P, block, block]
+    full = jnp.zeros((nb, nb, block, block), jnp.int32)
+    full = full.at[qidx, tidx].set(tiles)
+    counts = full.transpose(0, 2, 1, 3).reshape(nb * block, nb * block)
+    counts = counts[:f, :f]
+    q = jnp.arange(f)[:, None]
+    t = jnp.arange(f)[None, :]
+    return jnp.where(t <= q - min_gap, counts, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "chunk"))
 def all_pairs_good_counts(signed: jax.Array, valid: jax.Array,
                           pair_q: jax.Array, pair_t: jax.Array,

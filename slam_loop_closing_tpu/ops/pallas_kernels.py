@@ -167,7 +167,10 @@ def _fast_kernel(img_hbm, score_ref, block_ref, sem, *, threshold: float,
         src.at[pl.ds(row0, tile_h + 16), :], block_ref, sem)
     dma.start()
     dma.wait()
-    block = block_ref[...]
+    # bf16 compute: halves the VMEM footprint of the 32 live margin buffers
+    # and doubles VPU throughput; score precision ~3 decimal digits is ample
+    # for corner ranking (pixel values are 8-bit to begin with).
+    block = block_ref[...].astype(jnp.bfloat16)
 
     def shifted(dy, dx):
         # unpadded row (row0 - 1 + dy + k) -> block row (7 + dy + k); static.
@@ -193,6 +196,8 @@ def _fast_kernel(img_hbm, score_ref, block_ref, sem, *, threshold: float,
 
     score = jnp.maximum(jnp.maximum(arc_strength(bright_margins),
                                     arc_strength(dark_margins)), 0.0)
+    # back to f32 before NMS: pltpu.roll has no bf16 lowering
+    score = score.astype(jnp.float32)
     # zero outside the global 3-px interior (ring reads zero padding there)
     ys = jax.lax.broadcasted_iota(jnp.int32, (the, we), 0) + row0 - 1
     xs = jax.lax.broadcasted_iota(jnp.int32, (the, we), 1) - 1

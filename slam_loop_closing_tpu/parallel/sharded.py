@@ -71,13 +71,10 @@ def ring_similarity_counts(mesh: Mesh, signed: jax.Array, valid: jax.Array,
         me = jax.lax.axis_index(axis)
 
         def pair_counts(block_sgn, block_val):
-            """[fl, fl] counts of resident queries vs rotating targets."""
-            def one_query(qs, qv):
-                def one_target(ts, tv):
-                    return matching.good_count_pair(qs, qv, ts, tv, scale)
-                return jax.vmap(one_target)(block_sgn, block_val)
-            return jax.lax.map(lambda qt: one_query(qt[0], qt[1]),
-                               (sgn_local, val_local))
+            """[fl, fl] counts of resident queries vs rotating targets —
+            one flattened-target matmul per query frame."""
+            return matching.block_pair_counts(sgn_local, val_local,
+                                              block_sgn, block_val, scale)
 
         def step(i, carry):
             rot_sgn, rot_val, out = carry

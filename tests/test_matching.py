@@ -114,6 +114,41 @@ class TestAllPairs:
                     signed_j[i], valid_j[i], signed_j[j], valid_j[j]))
                 assert counts[i, j] == expected, (i, j)
 
+    def test_dense_equals_per_pair(self, rng):
+        """The frame-block matmul formulation must match the per-pair
+        oracle exactly (including the max(2*min, 30) floor)."""
+        f, n = 7, 40
+        signed = np.zeros((f, n, 256), np.int8)
+        valid = np.zeros((f, n), bool)
+        for i in range(f):
+            _, _, s = random_descs(rng, n)
+            signed[i] = np.asarray(s)
+            valid[i, : 25 + i] = True
+            signed[i, 25 + i:] = 0
+        sj, vj = jnp.asarray(signed), jnp.asarray(valid)
+        dense = np.asarray(matching.dense_pair_counts(sj, vj, t_block=4))
+        for i in range(f):
+            for j in range(f):
+                expected = int(matching.good_count_pair(
+                    sj[i], vj[i], sj[j], vj[j]))
+                assert dense[i, j] == expected, (i, j)
+
+    def test_banded_matches_dense(self, rng):
+        f, n = 9, 32
+        signed = np.zeros((f, n, 256), np.int8)
+        valid = np.ones((f, n), bool)
+        for i in range(f):
+            _, _, s = random_descs(rng, n)
+            signed[i] = np.asarray(s)
+        sj, vj = jnp.asarray(signed), jnp.asarray(valid)
+        dense = np.asarray(matching.dense_pair_counts(sj, vj, t_block=4))
+        banded = np.asarray(matching.banded_pair_counts(sj, vj, min_gap=3,
+                                                        block=4))
+        for i in range(f):
+            for j in range(f):
+                want = dense[i, j] if j <= i - 3 else 0
+                assert banded[i, j] == want, (i, j)
+
     def test_similarity_formula(self):
         c = jnp.asarray([50, 10])
         s = matching.similarity(c, jnp.asarray([100, 100]), jnp.asarray([200, 40]))
