@@ -1,0 +1,104 @@
+"""KITTI odometry seq-00 loop-detection benchmark (BASELINE.json configs[4]):
+4541 frames through the ORB front-end + banded all-pairs similarity + batched
+RANSAC verification of the top candidates.
+
+The dataset is not bundled: pass --kitti-root (see utils/kitti.py for the
+expected layout). Without it, the script falls back to a synthetic sequence
+of the same LENGTH so the scaling path (block-banded similarity over ~10M
+frame pairs) is still exercised end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kitti-root", default=None)
+    ap.add_argument("--seq", default="00")
+    ap.add_argument("--frames", type=int, default=4541)
+    ap.add_argument("--height", type=int, default=376)
+    ap.add_argument("--width", type=int, default=1241)
+    ap.add_argument("--num-features", type=int, default=1000)
+    ap.add_argument("--min-gap", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="front-end frame batch per device step")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_loop_closing_tpu.config import OrbConfig
+    from slam_loop_closing_tpu.ops import matching, orb
+    from slam_loop_closing_tpu.utils import kitti
+    from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
+
+    cfg = OrbConfig(num_features=args.num_features)
+    t_load0 = time.perf_counter()
+    if args.kitti_root and kitti.available(args.kitti_root, args.seq):
+        from slam_loop_closing_tpu.utils import native
+
+        paths = kitti.frame_paths(args.kitti_root, args.seq)[: args.frames]
+        frames = native.load_frames_gray_native(paths, args.height,
+                                                args.width)
+        source = f"kitti-{args.seq}"
+    else:
+        # synthetic stand-in with the same frame count and resolution
+        frames = orbit_sequence(num_frames=args.frames, h=args.height,
+                                w=args.width, num_points=400)
+        source = "synthetic"
+    t_load = time.perf_counter() - t_load0
+    b = frames.shape[0]
+    print(f"# {source}: {b} frames {frames.shape[1]}x{frames.shape[2]} "
+          f"(loaded in {t_load:.1f}s)")
+
+    # Front-end in device-sized batches (one jit, reused). Frames ship as
+    # uint8 and convert on device — host->device bandwidth is the wall here.
+    fe = jax.jit(lambda x: orb.detect_and_describe_batch(
+        x.astype(jnp.float32) / 255.0, cfg))
+    frames_u8 = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    n = cfg.num_features
+    signed = np.zeros((b, n, 256), np.int8)
+    valid = np.zeros((b, n), bool)
+    t0 = time.perf_counter()
+    for s in range(0, b, args.batch):
+        e = min(s + args.batch, b)
+        chunk = np.zeros((args.batch, frames.shape[1], frames.shape[2]),
+                         np.uint8)
+        chunk[: e - s] = frames_u8[s:e]
+        feats = fe(jnp.asarray(chunk))
+        signed[s:e] = np.asarray(feats.signed[: e - s])
+        valid[s:e] = np.asarray(feats.keypoints.valid[: e - s])
+    t_frontend = time.perf_counter() - t0
+
+    # Banded all-pairs similarity (the O(F^2) part).
+    t0 = time.perf_counter()
+    counts = matching.banded_pair_counts(
+        jnp.asarray(signed), jnp.asarray(valid), args.min_gap, block=64)
+    counts.block_until_ready()
+    cnp = np.asarray(counts)
+    t_pairs = time.perf_counter() - t0
+
+    n_band_pairs = sum(max(0, i - args.min_gap + 1) for i in range(b))
+    total = t_frontend + t_pairs
+    print(json.dumps({
+        "metric": f"kitti_seq{args.seq}_loop_detection",
+        "value": round(b / total, 2),
+        "unit": "frames/sec",
+        "vs_baseline": None,
+        "source": source,
+        "frontend_s": round(t_frontend, 2),
+        "all_pairs_s": round(t_pairs, 2),
+        "banded_pairs": n_band_pairs,
+        "pairs_per_sec": round(n_band_pairs / t_pairs, 0),
+        "top_candidate": int(cnp.max()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

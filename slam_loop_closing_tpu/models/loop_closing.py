@@ -234,9 +234,11 @@ class LoopClosingSystem:
             np.asarray(fi.keypoints.xy), np.asarray(fj.keypoints.xy),
             np.asarray(m.mask), np.asarray(m.idx))
 
-    def save_results(self, out_dir: str | Path) -> Path:
-        """``loop_closures.txt`` + loop visualizations (hpp:66;
-        README.md:140-147)."""
+    def save_results(self, out_dir: str | Path,
+                     match_viz: bool = True) -> Path:
+        """``loop_closures.txt`` + visualizations (hpp:66; README.md:140-147):
+        ``loop_X_Y.png`` per loop and ``matches_X_Y.png`` between every
+        ``viz_every``-th consecutive frame pair (README.md:144)."""
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
         txt = io_utils.write_loop_closures_txt(
@@ -249,6 +251,11 @@ class LoopClosingSystem:
             self.visualize_matches(
                 c.current_frame_id, c.matched_frame_id,
                 out / f"loop_{c.current_frame_id}_{c.matched_frame_id}.png")
+        if match_viz:
+            every = self.config.loop.viz_every
+            for i in range(every, len(self._frame_ids), every):
+                a, b = self._frame_ids[i], self._frame_ids[i - 1]
+                self.visualize_matches(a, b, out / f"matches_{a}_{b}.png")
         return txt
 
     # -- batched path ------------------------------------------------------

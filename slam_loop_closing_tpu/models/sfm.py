@@ -418,6 +418,7 @@ class SfMPipeline:
                            jnp.asarray(0, jnp.int32), self.config)
         infos = []
         key = jax.random.PRNGKey(42)
+        kf_index = 0
         for f in range(1, frames.shape[0]):
             key, sub = jax.random.split(key)
             state, info = _sfm_step(state, und[f], norm[f], valid[f],
@@ -425,6 +426,17 @@ class SfMPipeline:
                                     jnp.asarray(f, jnp.int32), sub, self.K,
                                     self.config)
             infos.append(info)
+            # per-frame acceptance lines (the reference's observable logs,
+            # main.cpp:1202-1206, 1343-1346)
+            if bool(info.accepted):
+                kf_index += 1
+                if hasattr(self.log, "keyframe_accepted"):
+                    self.log.keyframe_accepted(
+                        f, kf_index, int(info.num_matches),
+                        float(info.median_disp), int(info.num_inliers))
+                    self.log.triangulation_counters(
+                        int(info.n_triangulated), int(info.n_merged),
+                        0, 0, 0, 0)
         k = int(state.kf_count)
         self.log(f"Keyframes accepted: {k} / {frames.shape[0]} frames; "
                  f"points: {int(state.point_count)}; "

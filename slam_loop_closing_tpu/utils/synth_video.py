@@ -82,14 +82,20 @@ def _multiscale_texture(rng, th: int, tw: int) -> np.ndarray:
                 + fy * ((1 - fx) * n[y0 + 1][:, x0]
                         + fx * n[y0 + 1][:, x0 + 1]))
 
-    smooth = sum(octave_noise(o) * o for o in (8, 16, 32))
+    smooth = sum(octave_noise(o) * o for o in (8, 16, 32, 96))
     smooth -= smooth.min()
     smooth /= smooth.max()
     # Sharp binary regions (thresholded mid-scale noise): FAST needs real
     # intensity steps within its 3-px ring; smooth noise alone has none.
-    edges = (octave_noise(12) > 0).astype(np.float64)
-    edges2 = (octave_noise(24) > 0.3).astype(np.float64)
-    tex = 0.25 + 0.3 * smooth + 0.3 * edges + 0.15 * edges2
+    # Thresholding against LARGE-scale noise makes the binary pattern
+    # regionally distinct (different wall sectors have different edge
+    # density/polarity), so descriptors from different places actually
+    # differ — with a spatially uniform pattern every frame pair matches
+    # every other and loop detection degenerates.
+    edges = (octave_noise(12) > 0.7 * octave_noise(96)).astype(np.float64)
+    edges2 = (octave_noise(24) > 0.3 + 0.4 * octave_noise(128)).astype(
+        np.float64)
+    tex = 0.2 + 0.25 * smooth + 0.35 * edges + 0.2 * edges2
     return np.clip(tex, 0.0, 1.0).astype(np.float32)
 
 
