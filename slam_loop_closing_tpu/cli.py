@@ -86,6 +86,9 @@ def _build_parser() -> argparse.ArgumentParser:
                          "main.cpp uses SIFT)")
     sp.add_argument("--checkpoint", action="store_true",
                     help="save/reuse NPZ map-state checkpoints per stage")
+    sp.add_argument("--scan", action="store_true",
+                    help="run the keyframe pass as one lax.scan device "
+                         "program (fastest; no per-frame logs)")
 
     sp = sub.add_parser("calibrate", help="chessboard camera calibration")
     sp.add_argument("--images", default="data/calibration",
@@ -186,7 +189,8 @@ def cmd_reconstruct(args) -> int:
     if getattr(args, "detector", None):
         cfg = dataclasses.replace(cfg, detector=args.detector)
     frames = _resolve_frames(args, cfg)
-    pipe = SfMPipeline(cfg, max_keyframes=args.max_keyframes)
+    pipe = SfMPipeline(cfg, max_keyframes=args.max_keyframes,
+                       use_scan=getattr(args, "scan", False))
     res = pipe.run(frames, data_dir=args.data_dir,
                    write_obj=not args.no_obj,
                    checkpoint=getattr(args, "checkpoint", False))

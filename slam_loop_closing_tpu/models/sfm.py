@@ -369,12 +369,15 @@ class SfMPipeline:
 
     def __init__(self, config: PipelineConfig | None = None,
                  max_keyframes: int = 256, max_points: int = 65536,
-                 max_obs: int = 262144, log=print):
+                 max_obs: int = 262144, log=print, use_scan: bool = False):
         self.config = config or PipelineConfig()
         self.max_keyframes = max_keyframes
         self.max_points = max_points
         self.max_obs = max_obs
         self.log = log
+        # use_scan: run the keyframe pass as one lax.scan device program
+        # (fastest; no per-frame logging) instead of the host loop.
+        self.use_scan = use_scan
         cam = self.config.camera
         self.K = jnp.asarray(cam.K, jnp.float32)
         self.dist = jnp.asarray(cam.dist_coeffs, jnp.float32)
@@ -404,6 +407,45 @@ class SfMPipeline:
 
     # -- keyframe scan -----------------------------------------------------
 
+    def run_frontend_and_keyframes_scan(self, frames: np.ndarray):
+        """Whole keyframe pass as ONE jitted ``lax.scan`` over frames — no
+        per-frame host dispatch (the fast path; identical math to
+        :meth:`run_frontend_and_keyframes`, which keeps the host loop for
+        per-frame reference-format logging)."""
+        if self.config.detector == "sift":
+            n = self.config.sift.num_features
+            desc_dim, desc_dtype = 128, jnp.float32
+        else:
+            n = self.config.orb.num_features
+            desc_dim, desc_dtype = 256, jnp.int8
+        state = init_map_state(self.max_keyframes, n, self.max_points,
+                               self.max_obs, desc_dim, desc_dtype)
+        desc, valid, und, norm = self._frontend(frames)
+        state = _bootstrap(state, und[0], norm[0], valid[0], desc[0],
+                           jnp.asarray(0, jnp.int32), self.config)
+        b = frames.shape[0]
+        keys = jax.random.split(jax.random.PRNGKey(42), b - 1)
+        frame_ids = jnp.arange(1, b, dtype=jnp.int32)
+        cfg = self.config
+        K = self.K
+
+        @jax.jit
+        def scan_all(state, xs):
+            def step(st, x):
+                u, nm, v, d, fid, key = x
+                return _sfm_step(st, u, nm, v, d, fid, key, K, cfg)
+
+            return jax.lax.scan(
+                step, state,
+                (und[1:], norm[1:], valid[1:], desc[1:], frame_ids, keys))
+
+        state, infos = scan_all(state, None)
+        k = int(state.kf_count)
+        self.log(f"Keyframes accepted: {k} / {b} frames; "
+                 f"points: {int(state.point_count)}; "
+                 f"observations: {int(state.obs_count)}")
+        return state, infos
+
     def run_frontend_and_keyframes(self, frames: np.ndarray):
         if self.config.detector == "sift":
             n = self.config.sift.num_features
@@ -417,14 +459,14 @@ class SfMPipeline:
         state = _bootstrap(state, und[0], norm[0], valid[0], desc[0],
                            jnp.asarray(0, jnp.int32), self.config)
         infos = []
-        key = jax.random.PRNGKey(42)
+        # same key derivation as the scan fast path (bit-identical results)
+        keys = jax.random.split(jax.random.PRNGKey(42), frames.shape[0] - 1)
         kf_index = 0
         for f in range(1, frames.shape[0]):
-            key, sub = jax.random.split(key)
             state, info = _sfm_step(state, und[f], norm[f], valid[f],
                                     desc[f],
-                                    jnp.asarray(f, jnp.int32), sub, self.K,
-                                    self.config)
+                                    jnp.asarray(f, jnp.int32), keys[f - 1],
+                                    self.K, self.config)
             infos.append(info)
             # per-frame acceptance lines (the reference's observable logs,
             # main.cpp:1202-1206, 1343-1346)
@@ -602,6 +644,10 @@ class SfMPipeline:
         if checkpoint and fe_path.exists():
             self.log(f"Resuming map state from {fe_path}")
             state = ckpt.load_map_state(fe_path)
+        elif self.use_scan:
+            state, infos = self.run_frontend_and_keyframes_scan(frames)
+            if checkpoint:
+                ckpt.save_map_state(fe_path, state)
         else:
             state, infos = self.run_frontend_and_keyframes(frames)
             if checkpoint:

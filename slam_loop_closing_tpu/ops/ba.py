@@ -128,6 +128,10 @@ def refine_cameras(K: jax.Array, cam_params: jax.Array, points: jax.Array,
     if fixed_mask is not None:
         movable = movable & ~fixed_mask
 
+    def _errs(cp):
+        e = reprojection_errors(K, cp, points, obs) ** 2
+        return jnp.zeros((n,), cp.dtype).at[obs.cam].add(e)
+
     def body(_, cp):
         r, J = _per_obs_jacobians_cam(K, cp, points, obs)
         # H_c = sum_o J_o^T J_o, g_c = sum_o J_o^T r_o  (per camera)
@@ -137,7 +141,13 @@ def refine_cameras(K: jax.Array, cam_params: jax.Array, points: jax.Array,
         g = jnp.zeros((n, 6), cp.dtype).at[obs.cam].add(JTr)
         delta = _solve_damped(H, g, damping)
         delta = jnp.where(movable[:, None], delta, 0.0)
-        return cp + delta
+        # LM acceptance per camera: keep the step only if that camera's
+        # total squared error improves and stays finite (points behind the
+        # camera give exploding 1/z Jacobians that otherwise diverge to NaN)
+        cand = cp + delta
+        better = (_errs(cand) <= _errs(cp)) & jnp.all(
+            jnp.isfinite(cand), axis=1)
+        return jnp.where(better[:, None], cand, cp)
 
     return jax.lax.fori_loop(0, iterations, body, cam_params)
 
@@ -157,6 +167,10 @@ def refine_points(K: jax.Array, cam_params: jax.Array, points: jax.Array,
     if point_valid is not None:
         movable = movable & point_valid
 
+    def _errs(pts):
+        e = reprojection_errors(K, cam_params, pts, obs) ** 2
+        return jnp.zeros((p,), pts.dtype).at[obs.point].add(e)
+
     def body(_, pts):
         r, J = _per_obs_jacobians_point(K, cam_params, pts, obs)
         JTJ = jnp.einsum("oik,oil->okl", J, J)
@@ -165,7 +179,11 @@ def refine_points(K: jax.Array, cam_params: jax.Array, points: jax.Array,
         g = jnp.zeros((p, 3), pts.dtype).at[obs.point].add(JTr)
         delta = _solve_damped(H, g, damping)
         delta = jnp.where(movable[:, None], delta, 0.0)
-        return pts + delta
+        # per-point LM acceptance (see refine_cameras)
+        cand = pts + delta
+        better = (_errs(cand) <= _errs(pts)) & jnp.all(
+            jnp.isfinite(cand), axis=1)
+        return jnp.where(better[:, None], cand, pts)
 
     return jax.lax.fori_loop(0, iterations, body, points)
 

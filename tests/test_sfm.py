@@ -87,6 +87,26 @@ class TestSfM:
         assert res.reproj_after_ba <= res.reproj_before_ba + 1e-3
         assert np.isfinite(res.reproj_final)
 
+    def test_scan_path_matches_loop(self, sfm_cfg, frames, pipeline_run):
+        """The lax.scan fast path must produce the same map as the host
+        loop (same jitted step function, so bit-identical)."""
+        pipe2 = SfMPipeline(sfm_cfg, max_keyframes=32, max_points=8192,
+                            max_obs=32768, use_scan=True,
+                            log=lambda *a: None)
+        state2, infos2 = pipe2.run_frontend_and_keyframes_scan(frames)
+        _, res = pipeline_run
+        s1 = res.state
+        # pipeline_run's state went through PGO/BA; compare the raw scan
+        # output against a fresh host-loop run instead
+        pipe1 = SfMPipeline(sfm_cfg, max_keyframes=32, max_points=8192,
+                            max_obs=32768, log=lambda *a: None)
+        state1, _ = pipe1.run_frontend_and_keyframes(frames)
+        assert int(state1.kf_count) == int(state2.kf_count)
+        assert int(state1.point_count) == int(state2.point_count)
+        assert int(state1.obs_count) == int(state2.obs_count)
+        np.testing.assert_allclose(np.asarray(state1.poses),
+                                   np.asarray(state2.poses), atol=1e-5)
+
     def test_obj_written(self, pipeline_run):
         _, res = pipeline_run
         assert res.obj_path is not None
