@@ -10,6 +10,14 @@ parallel axes of the same workload:
 * **DP over candidate pairs**: RANSAC verification fans candidate loop pairs
   across chips.
 
+Axes that do NOT apply to this workload (stated, not stubbed — SURVEY.md
+§2.11): pipeline parallelism (no layered model to stage), expert parallelism
+(no experts), and attention-style context parallelism (the ring similarity
+IS the context-parallel analogue, with frames as tokens). Tensor
+parallelism's role — splitting one big matmul across chips — is exactly what
+the ring does to the [F*N, F*N] similarity matmul: each chip owns a block
+row and the rotating operand provides the block columns.
+
 Everything runs on a CPU mesh (``--xla_force_host_platform_device_count=8``)
 for tests and on real ICI unchanged.
 """
