@@ -42,6 +42,8 @@ class OrbConfig:
     pattern_seed: int = 17          # deterministic rBRIEF sampling-pattern seed
     brief_bins: int = 30            # quantized pattern rotations (12 deg steps)
     border: int = 19                # keypoint exclusion border (>= patch half 16)
+    grid_cell: int = 0              # >0: one keypoint per NxN cell (faster,
+                                    # spreads features; changes selection)
 
 
 @dataclasses.dataclass(frozen=True)

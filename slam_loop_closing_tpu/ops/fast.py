@@ -144,19 +144,62 @@ def select_topk_banded(score: jax.Array, num_features: int, border: int = 19,
     return jnp.stack([x, y], axis=-1), resp, resp > 0.0
 
 
+@functools.partial(jax.jit, static_argnames=("num_features", "border",
+                                             "cell"))
+def select_topk_grid(score: jax.Array, num_features: int, border: int = 19,
+                     cell: int = 8):
+    """Top-K with at most one keypoint per ``cell x cell`` grid cell: the
+    per-cell argmax shrinks the top-K input by cell^2 (a flat top-K over the
+    2M-pixel score map costs ~4 ms/frame on v5e; this runs the heavy
+    reduction as cheap reshaped maxes). One-per-cell is the same grid
+    adaptation OpenCV's ORB applies to spread keypoints spatially.
+    Returns (xy, response, valid) like :func:`select_topk`."""
+    h, w = score.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    ok = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    masked = jnp.where(ok, score, 0.0)
+    ph, pw = (-h) % cell, (-w) % cell
+    if ph or pw:
+        masked = jnp.pad(masked, ((0, ph), (0, pw)))
+    hb, wb = (h + ph) // cell, (w + pw) // cell
+    cells = masked.reshape(hb, cell, wb, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(hb * wb, cell * cell)
+    cmax = jnp.max(cells, axis=1)                    # [hb*wb]
+    # lowest-index argmax via min-of-equal trick (cheap, avoids sort)
+    iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+    carg = jnp.min(jnp.where(cells == cmax[:, None], iota, cell * cell),
+                   axis=1)
+    resp, sel = jax.lax.top_k(cmax, num_features)    # small top-K
+    cy = sel // wb
+    cx = sel % wb
+    iy = carg[sel] // cell
+    ix = carg[sel] % cell
+    y = (cy * cell + iy).astype(jnp.float32)
+    x = (cx * cell + ix).astype(jnp.float32)
+    valid = resp > 0.0
+    return jnp.stack([x, y], axis=-1), resp, valid
+
+
 @functools.partial(jax.jit, static_argnames=("threshold", "num_features",
-                                             "nms_radius", "border"))
+                                             "nms_radius", "border",
+                                             "grid_cell"))
 def detect(img: jax.Array, threshold: float = 20.0 / 255.0,
-           num_features: int = 2000, nms_radius: int = 1, border: int = 19):
+           num_features: int = 2000, nms_radius: int = 1, border: int = 19,
+           grid_cell: int = 0):
     """Full FAST detection: score -> NMS -> fixed-budget top-K. On TPU the
     score+NMS stage runs as the fused row-tiled Pallas kernel (3x3 NMS
-    only)."""
+    only). ``grid_cell > 0`` switches to grid-adapted selection (at most one
+    keypoint per cell — spreads features and runs ~1.6x faster at 1080p;
+    changes which keypoints are picked, so it is opt-in)."""
     from slam_loop_closing_tpu.ops import pallas_kernels
 
     if nms_radius == 1 and pallas_kernels.use_pallas():
         suppressed = pallas_kernels.fast_score_nms(img, threshold)
     else:
         suppressed = nms(fast_score_map(img, threshold), nms_radius)
+    if grid_cell > 0:
+        return select_topk_grid(suppressed, num_features, border, grid_cell)
     # (select_topk_banded measured slower than the flat top-k on v5e —
     # TPU top_k cost scales with n, not k — so the flat path stays default.)
     return select_topk(suppressed, num_features, border)

@@ -333,7 +333,8 @@ def _detect_level(level_img: jax.Array, level: int, budget: int,
     thr = cfg.fast_threshold / 255.0
     xy, resp, valid = fast_ops.detect(
         level_img, threshold=thr, num_features=budget,
-        nms_radius=cfg.nms_radius, border=cfg.border)
+        nms_radius=cfg.nms_radius, border=cfg.border,
+        grid_cell=cfg.grid_cell)
     # Patch-based description (see extract_patches): ONE patch extraction
     # from the blurred level serves both the orientation moments and the
     # binned-rotation BRIEF matmuls (patch gathers are the remaining
