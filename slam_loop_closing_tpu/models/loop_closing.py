@@ -95,7 +95,17 @@ class LoopClosingSystem:
 
     def __init__(self, config: PipelineConfig | None = None,
                  max_frames: int = 512, log=print):
-        self.config = config or PipelineConfig()
+        if config is None:
+            # Version-A default: the README's ASSUMED intrinsics
+            # fx=fy=800, cx=640, cy=360 (README.md:137) — the calibrated
+            # iPhone numbers belong to the Version-B pipeline.
+            import dataclasses
+
+            from slam_loop_closing_tpu.config import CameraConfig
+
+            config = dataclasses.replace(PipelineConfig(),
+                                         camera=CameraConfig.assumed())
+        self.config = config
         cam = self.config.camera
         self.K = jnp.asarray(cam.K, jnp.float32)
         self.max_frames = max_frames
@@ -215,6 +225,18 @@ class LoopClosingSystem:
                      f"<-> frame {cand.matched_frame_id} "
                      f"({cand.num_matches} matches, similarity "
                      f"{cand.similarity_score:.4f})")
+        # On loop: re-match and re-triangulate against the matched frame
+        # (README.md:101-102), refreshing this frame's 3D points.
+        if new_loops and idx < len(self.frames):
+            j = self._frame_ids.index(new_loops[0].matched_frame_id)
+            fi = self._features_of(idx)
+            fj = self._features_of(j)
+            m = self.match_features(fi, fj)
+            if int(m.count) >= self.config.ransac.min_points:
+                R, t, ok = self.estimate_pose(fi, fj, m)
+                if ok:
+                    self.frames[idx].points3d = self.triangulate_points(
+                        fi, fj, m, R, t)
         return new_loops
 
     def get_frames(self) -> list[Frame]:

@@ -335,6 +335,21 @@ def _pair_ratio_counts(signed, kp_valid, pair_q, pair_t, ratio=0.7, chunk=4,
     return counts.reshape(-1)[:p]
 
 
+@functools.partial(jax.jit, static_argnames=("ratio", "detector", "cfg"))
+def _verify_loop_candidates(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
+                            focal, ratio, detector, cfg):
+    """Match + batched essential-RANSAC for a fixed set of candidate
+    keyframe pairs, vmapped — one device program verifies all candidates."""
+    def one(qi, ti, key):
+        m = _match_descriptors(signed[qi], kp_valid[qi], signed[ti],
+                               kp_valid[ti], ratio, detector)
+        res = ransac_ops.estimate_essential_ransac(
+            kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg)
+        return m.count, m.idx, m.mask, res
+
+    return jax.vmap(one)(cand_q, cand_t, keys)
+
+
 @dataclasses.dataclass
 class LoopResult:
     found: bool
@@ -508,35 +523,44 @@ class SfMPipeline:
         if not cand:
             return LoopResult(found=False)
 
-        # Verify the candidates with batched RANSAC (vmapped over pairs).
+        # Verify the top candidates with ONE vmapped batched-RANSAC call
+        # (the reference's sequential verify loop, main.cpp:1386-1418,
+        # fanned out; fixed candidate budget keeps shapes static).
+        max_cand = 16
+        cand = sorted(cand, key=lambda i: -counts[i])[:max_cand]
+        pad_n = max_cand - len(cand)
+        cand_padded = cand + [cand[0]] * pad_n
+        cq = jnp.asarray([pairs[i][0] for i in cand_padded], jnp.int32)
+        ct = jnp.asarray([pairs[i][1] for i in cand_padded], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(7), max_cand)
         focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
+        mcounts, midx, mmask, res = _verify_loop_candidates(
+            state.signed, state.kp_valid, state.kp_norm, cq, ct, keys,
+            focal, self.config.match.loop_ratio_threshold,
+            self.config.detector, self.config.ransac)
+        mcounts = np.asarray(mcounts)
+        ninls = np.asarray(res.num_inliers)
+        nposs = np.asarray(res.num_pose_inliers)
+
         best = LoopResult(found=False)
-        key = jax.random.PRNGKey(7)
-        for i in cand:
-            c, p = pairs[i]
-            m = _match_descriptors(
-                state.signed[c], state.kp_valid[c], state.signed[p],
-                state.kp_valid[p], self.config.match.loop_ratio_threshold,
-                self.config.detector)
-            key, sub = jax.random.split(key)
-            res = ransac_ops.estimate_essential_ransac(
-                state.kp_norm[p][m.idx], state.kp_norm[c], m.mask, sub,
-                focal, self.config.ransac)
-            ninl = int(res.num_inliers)
-            ratio = ninl / max(int(m.count), 1)
+        for k in range(len(cand)):
+            c, p = pairs[cand[k]]
+            ninl = int(ninls[k])
+            ratio = ninl / max(int(mcounts[k]), 1)
             if (ninl > lv.min_inliers and ratio > lv.min_inlier_ratio
                     and ninl > best.num_inliers):
-                npos = int(res.num_pose_inliers)
+                npos = int(nposs[k])
                 if npos > lv.min_pose_inliers:
-                    q_idx = np.arange(len(np.asarray(m.idx)))
-                    mask = np.asarray(res.pose_inliers)
+                    q_idx = np.arange(midx.shape[1])
+                    mask = np.asarray(res.pose_inliers[k])
                     best = LoopResult(
                         found=True, curr_kf=c, past_kf=p,
-                        num_matches=int(m.count), num_inliers=ninl,
+                        num_matches=int(mcounts[k]), num_inliers=ninl,
                         num_pose_inliers=npos,
-                        R_rel=np.asarray(res.R), t_rel=np.asarray(res.t),
+                        R_rel=np.asarray(res.R[k]),
+                        t_rel=np.asarray(res.t[k]),
                         inlier_pairs=(q_idx[mask],
-                                      np.asarray(m.idx)[mask]))
+                                      np.asarray(midx[k])[mask]))
         if best.found:
             self.log(f"Loop closure: keyframe {best.curr_kf} <-> "
                      f"{best.past_kf} ({best.num_inliers} inliers, "
