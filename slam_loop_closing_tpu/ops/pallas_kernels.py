@@ -270,7 +270,7 @@ def _fast_call_batched(imgs, threshold, tile_h, interpret):
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h",
                                              "interpret"))
 def fast_score_nms(img: jax.Array, threshold: float = 20.0 / 255.0,
-                   tile_h: int = 16, interpret: bool = False) -> jax.Array:
+                   tile_h: int = 32, interpret: bool = False) -> jax.Array:
     """Fused FAST-9 score + 3x3 NMS, [H, W] -> [H, W], row-tiled.
 
     vmap-safe: pallas_call over an ANY-memory-space input cannot be vmapped,
