@@ -139,6 +139,31 @@ def triangulate_dlt(R1: jax.Array, t1: jax.Array, R2: jax.Array, t2: jax.Array,
     return jax.vmap(one)(x1, x2)
 
 
+def triangulate_linear(R1: jax.Array, t1: jax.Array, R2: jax.Array,
+                       t2: jax.Array, x1: jax.Array, x2: jax.Array
+                       ) -> jax.Array:
+    """Inhomogeneous two-view triangulation: the same DLT rows as
+    :func:`triangulate_dlt` but solved as ``B X = -c`` (B = A[:, :3],
+    c = A[:, 3]) via closed-form 3x3 normal equations instead of a batched
+    4x4 SVD. ~10x faster on TPU (small-matrix SVD is iterative Jacobi);
+    equivalent except for points at infinity — use for cheirality votes and
+    anywhere only a finite-point estimate is needed."""
+    P1 = jnp.concatenate([R1, t1[:, None]], axis=1)  # [3,4]
+    P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
+    rows = jnp.stack([
+        x1[:, 0:1] * P1[2] - P1[0],
+        x1[:, 1:2] * P1[2] - P1[1],
+        x2[:, 0:1] * P2[2] - P2[0],
+        x2[:, 1:2] * P2[2] - P2[1],
+    ], axis=1)                                       # [N, 4, 4]
+    B = rows[..., :3]
+    c = rows[..., 3]
+    H = jnp.einsum("nij,nik->njk", B, B)
+    g = jnp.einsum("nij,ni->nj", B, c)
+    H = H + 1e-12 * jnp.eye(3, dtype=H.dtype)[None]
+    return -jnp.linalg.solve(H, g[..., None])[..., 0]
+
+
 def depths(R: jax.Array, t: jax.Array, X: jax.Array) -> jax.Array:
     """Per-point camera-frame depth z, [N]."""
     return X @ R[2].T + t[2]
@@ -152,7 +177,7 @@ def cheirality_counts(Rs: jax.Array, ts: jax.Array, x1: jax.Array,
     zero = jnp.zeros(3, dtype=Rs.dtype)
 
     def count(R, t):
-        X = triangulate_dlt(eye, zero, R, t, x1, x2)
+        X = triangulate_linear(eye, zero, R, t, x1, x2)
         z1 = depths(eye, zero, X)
         z2 = depths(R, t, X)
         ok = (z1 > 0) & (z2 > 0) & mask
@@ -175,7 +200,7 @@ def recover_pose(E: jax.Array, x1: jax.Array, x2: jax.Array,
     R, t = Rs[best], ts[best]
     eye = jnp.eye(3, dtype=E.dtype)
     zero = jnp.zeros(3, dtype=E.dtype)
-    X = triangulate_dlt(eye, zero, R, t, x1, x2)
+    X = triangulate_linear(eye, zero, R, t, x1, x2)
     pose_mask = (depths(eye, zero, X) > 0) & (depths(R, t, X) > 0) & mask
     return R, t, pose_mask, jnp.sum(pose_mask.astype(jnp.int32))
 

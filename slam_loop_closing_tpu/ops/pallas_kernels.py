@@ -12,7 +12,8 @@ Encoding note (SURVEY.md §7 "popcount on TPU"): descriptors are +-1 int8
 vectors, so Hamming = (BITS - q.t^T) / 2 rides the 128x128 MXU as an int8
 matmul — measured against the SWAR popcount oracle in tests. On non-TPU
 backends the kernels run in Pallas interpret mode (tests) or fall back to
-the XLA implementations (production dispatch in :func:`matching_backend`).
+the XLA implementations (dispatch via :func:`use_pallas` at the call sites
+in :mod:`.fast` and :mod:`.matching`).
 """
 
 from __future__ import annotations

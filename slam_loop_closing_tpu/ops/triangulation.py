@@ -53,7 +53,10 @@ def triangulate_gated(K: jax.Array,
       uv1, uv2: [N, 2] the same matches in PIXEL coordinates.
       mask: [N] bool valid-match mask (RANSAC inliers).
     """
-    X = epipolar.triangulate_dlt(R1, t1, R2, t2, x1, x2)
+    # Inhomogeneous linear triangulation (3x3 closed form): ~10x faster on
+    # TPU than the batched 4x4-SVD DLT; the depth/parallax/reproj gates
+    # below and the later bundle adjustment govern final quality.
+    X = epipolar.triangulate_linear(R1, t1, R2, t2, x1, x2)
 
     z1 = epipolar.depths(R1, t1, X)
     z2 = epipolar.depths(R2, t2, X)
