@@ -111,9 +111,9 @@ class RansacConfig:
     """Essential-matrix RANSAC (reference main.cpp:586-614).
 
     The reference uses OpenCV's adaptive-iteration RANSAC (prob 0.999, 1 px
-    threshold). On TPU we run a fixed batch of hypotheses chosen so the
-    no-outlier-free-sample probability matches the 0.999 confidence at the
-    reference's typical inlier ratios.
+    threshold). On TPU we run a fixed batch of hypotheses: 512 gives 0.999
+    confidence for inlier ratios >= ~0.58 (typical for gated keyframe
+    pairs); raise it for low-ratio regimes (see ops/ransac.py budget math).
     """
 
     threshold_px: float = 1.0       # main.cpp:590

@@ -13,11 +13,15 @@ parallel:
 4. refit on the winner's inliers (weighted 8-point), then recover (R, t) by
    cheirality vote.
 
-With H = 512 the probability that no sample is outlier-free stays below the
-reference's 1 - 0.999 at inlier ratios >= ~0.29 ((1-w^8)^512 < 1e-3), which
-covers the pipeline's own acceptance gate of inlier ratio >= 0.3
-(main.cpp:40). The whole routine is jit/vmap-friendly, so verification of
-many candidate loop pairs runs as one batched call (SURVEY.md section 2.4).
+Budget math: the no-outlier-free-sample probability is (1 - w^8)^H for
+inlier ratio w. H = 512 keeps it below the reference's 1 - 0.999 for
+w >= ~0.58 ((6.9 / 512)^(1/8)); real keyframe pairs that pass the
+pipeline's gates sit well above that, and the refit-on-inliers step mops up
+marginal hypotheses. For genuinely low-ratio regimes (w near the 0.3
+acceptance floor) raise ``num_hypotheses`` — full 0.999 confidence at
+w = 0.3 needs H ~ 1e5, which is still one batched call on TPU if you want
+it. The whole routine is jit/vmap-friendly, so verification of many
+candidate loop pairs runs as one batched call (SURVEY.md section 2.4).
 """
 
 from __future__ import annotations
