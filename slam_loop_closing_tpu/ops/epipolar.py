@@ -79,6 +79,27 @@ def essential_eight_point(x1: jax.Array, x2: jax.Array,
     return (U * jnp.stack([s, s, jnp.zeros_like(s)])) @ Vt
 
 
+def essential_eight_point_fast(x1: jax.Array, x2: jax.Array,
+                               weights: jax.Array) -> jax.Array:
+    """8-point solve via the smallest eigenvector of the 9x9 normal matrix
+    A^T A (symmetric eigh) instead of the SVD of A — faster, but squares the
+    condition number: in float32 the resulting models lose ~half the inliers
+    at a 1 px threshold (measured), so RANSAC uses the SVD solver. Kept for
+    callers with looser thresholds or float64 inputs."""
+    one = jnp.ones_like(x1[:, 0])
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one],
+                  axis=-1)  # [N, 9]
+    Aw = A * weights[:, None]
+    M = Aw.T @ Aw
+    _, vecs = jnp.linalg.eigh(M)   # ascending eigenvalues
+    E = vecs[:, 0].reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[0] + S[1]) * 0.5
+    return (U * jnp.stack([s, s, jnp.zeros_like(s)])) @ Vt
+
+
 def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     """First-order (Sampson) squared epipolar error, [N], normalized coords."""
     x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)  # [N,3]

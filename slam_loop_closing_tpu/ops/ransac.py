@@ -84,6 +84,10 @@ def estimate_essential_ransac(
     p1 = x1[idx]  # [H, 8, 2]
     p2 = x2[idx]
     ones = jnp.ones(idx.shape[1:], dtype=x1.dtype)
+    # NOTE: hypotheses must use the direct SVD solver — an A^T A / eigh
+    # variant (essential_eight_point_fast) squares the condition number and
+    # in float32 produces models sloppy enough to halve inlier recall at
+    # the 1 px threshold (measured).
     Es = jax.vmap(epipolar.essential_eight_point, in_axes=(0, 0, None))(
         p1, p2, ones)  # [H, 3, 3]
 
