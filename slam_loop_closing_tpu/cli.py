@@ -175,7 +175,9 @@ def cmd_loop(args) -> int:
         Path(args.data_dir) / "loop_closing_results")
     txt = sys_.save_results(out)
     n = len(sys_.get_loop_closures())
-    print(f"Frames processed: {frames.shape[0]}")
+    # reference console block (README.md:150-153)
+    print("\n=== Processing Complete ===")
+    print(f"Total frames processed: {frames.shape[0]}")
     print(f"Loop closures detected: {n}")
     print(f"Throughput: {frames.shape[0] / dt:.1f} frames/sec")
     print(f"Results: {txt}")

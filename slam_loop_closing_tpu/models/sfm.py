@@ -85,7 +85,9 @@ def _match_descriptors(desc_q, valid_q, desc_t, valid_t, ratio: float,
 
 class StepInfo(NamedTuple):
     """Per-frame diagnostics mirroring the reference's printed counters
-    (main.cpp:1202-1206, 1343-1346)."""
+    (main.cpp:1202-1206, 1343-1346). The rejection classes follow the
+    reference's attribution: behind-camera folds into ``depth``
+    (main.cpp:1283-1295)."""
 
     accepted: jax.Array       # bool keyframe accepted
     num_matches: jax.Array    # int32
@@ -93,7 +95,9 @@ class StepInfo(NamedTuple):
     num_inliers: jax.Array    # int32
     n_triangulated: jax.Array  # int32 new points
     n_merged: jax.Array       # int32 observations added to existing points
-    n_rejected: jax.Array     # int32 triangulation-gate rejections
+    n_rej_parallax: jax.Array  # int32 rejected: parallax below threshold
+    n_rej_reproj: jax.Array    # int32 rejected: reprojection error too large
+    n_rej_depth: jax.Array     # int32 rejected: behind camera / depth range
 
 
 def init_map_state(max_keyframes: int, num_features: int, max_points: int,
@@ -174,8 +178,8 @@ def _sfm_step(state: MapState, xy, norm, valid, signed, frame_idx, key,
               & (inlier_ratio >= kcfg.min_inlier_ratio)
               & (state.kf_count < state.kp_xy.shape[0]))
 
-    new_state = _extend_map(state, xy, norm, valid, signed, frame_idx,
-                            res, m, K, cfg)
+    new_state, tri = _extend_map(state, xy, norm, valid, signed, frame_idx,
+                                 res, m, K, cfg)
     out = jax.tree.map(lambda a, b: jnp.where(accept, b, a), state, new_state)
     info = StepInfo(
         accepted=accept, num_matches=m.count, median_disp=med,
@@ -186,15 +190,21 @@ def _sfm_step(state: MapState, xy, norm, valid, signed, frame_idx, key,
             accept,
             new_state.obs_count - state.obs_count
             - 2 * (new_state.point_count - state.point_count), 0),
-        n_rejected=jnp.asarray(0, jnp.int32))
+        n_rej_parallax=jnp.where(accept, tri.n_parallax, 0),
+        n_rej_reproj=jnp.where(accept, tri.n_reproj, 0),
+        # the reference counts cheirality failures as depth rejections
+        # (main.cpp:1283-1295)
+        n_rej_depth=jnp.where(accept, tri.n_behind + tri.n_depth, 0))
     return out, info
 
 
 def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
                 res: ransac_ops.EssentialResult, m: matching.Matches,
-                K: jax.Array, cfg: PipelineConfig) -> MapState:
+                K: jax.Array, cfg: PipelineConfig):
     """Chain the pose, triangulate gated inliers, merge into the map via the
-    track table (main.cpp:1216-1341)."""
+    track table (main.cpp:1216-1341). Returns (new MapState,
+    TriangulationResult) — the triangulation counters feed the reference's
+    printed rejection line (main.cpp:1343-1346)."""
     last = state.kf_count - 1
     new_kf = state.kf_count
     R_last, t_last = lie.params_to_pose(state.poses[last])
@@ -215,10 +225,13 @@ def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
         cfg.triangulation)
 
     # --- merge (main.cpp:1261-1341) --------------------------------------
+    # The reference's gates `continue` BEFORE the merge block, so a match
+    # only adds an observation to an existing point if its fresh
+    # triangulation passed every gate (main.cpp:1283-1317).
     track_last = state.kp_to_point[last]       # [N]
     existing_pid = track_last[m.idx]           # [N] (per query row)
-    has_existing = pair_mask & (existing_pid >= 0)
-    make_new = pair_mask & (existing_pid < 0) & tri.accept
+    has_existing = pair_mask & tri.accept & (existing_pid >= 0)
+    make_new = pair_mask & tri.accept & (existing_pid < 0)
 
     p_cap = state.points.shape[0] - 1
     o_cap = state.obs_cam.shape[0] - 1
@@ -309,7 +322,7 @@ def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
                      .at[new_kf].set(track_new)),
         points=points, point_valid=point_valid, point_count=point_count,
         obs_cam=obs_cam, obs_point=obs_point, obs_uv=obs_uv,
-        obs_valid=obs_valid, obs_count=obs_count)
+        obs_valid=obs_valid, obs_count=obs_count), tri
 
 
 # ---------------------------------------------------------------------------
@@ -455,11 +468,15 @@ class SfMPipeline:
                 (und[1:], norm[1:], valid[1:], desc[1:], frame_ids, keys))
 
         state, infos = scan_all(state, None)
-        k = int(state.kf_count)
-        self.log(f"Keyframes accepted: {k} / {b} frames; "
-                 f"points: {int(state.point_count)}; "
-                 f"observations: {int(state.obs_count)}")
+        self._log_keyframe_summary(state, b)
         return state, infos
+
+    def _log_keyframe_summary(self, state: MapState, num_frames: int):
+        """Reference keyframe-pass completion block (main.cpp:1354-1356)."""
+        self.log("\n=== Keyframe Selection Complete ===")
+        self.log(f"Total keyframes: {int(state.kf_count)} "
+                 f"(from {num_frames} frames)")
+        self.log(f"Total 3D points: {int(state.point_count)}")
 
     def run_frontend_and_keyframes(self, frames: np.ndarray):
         if self.config.detector == "sift":
@@ -493,24 +510,35 @@ class SfMPipeline:
                         float(info.median_disp), int(info.num_inliers))
                     self.log.triangulation_counters(
                         int(info.n_triangulated), int(info.n_merged),
-                        0, 0, 0, 0)
-        k = int(state.kf_count)
-        self.log(f"Keyframes accepted: {k} / {frames.shape[0]} frames; "
-                 f"points: {int(state.point_count)}; "
-                 f"observations: {int(state.obs_count)}")
+                        int(info.n_rej_parallax), int(info.n_rej_reproj),
+                        int(info.n_rej_depth))
+        self._log_keyframe_summary(state, frames.shape[0])
         return state, infos
 
     # -- loop search -------------------------------------------------------
 
     def find_loop(self, state: MapState) -> LoopResult:
         """Single global best loop (main.cpp:1362-1421): candidate pairs with
-        gap = max(3, K/2), ratio-0.7 matching > 300 matches, essential RANSAC
+        gap = max(3, K/2) where BOTH frames have >= 100 descriptors
+        (main.cpp:1382), ratio-0.7 matching > 300 matches, essential RANSAC
         verify with inliers > 200 and ratio > 0.6, best inlier count wins,
-        recoverPose must keep > 100."""
+        recoverPose must keep > 100.
+
+        EVERY candidate above the match threshold is geometrically verified
+        (the reference scans all qualifying pairs and keeps the global best
+        by *inlier* count — a pair ranked low by match count can still win).
+        Verification runs in fixed-size vmapped chunks so there is exactly
+        one compiled program regardless of candidate count."""
+        self.log("\n=== Starting Loop Closure Detection ===")
         k = int(state.kf_count)
         gap = max(3, k // 2)
-        pairs = [(c, p) for c in range(gap, k) for p in range(0, c - gap + 1)]
+        nfeat = np.asarray(jnp.sum(state.kp_valid, axis=1))
+        # <100-descriptor pair gate (main.cpp:1382)
+        enough = nfeat >= 100
+        pairs = [(c, p) for c in range(gap, k) for p in range(0, c - gap + 1)
+                 if enough[c] and enough[p]]
         if not pairs:
+            self.log(f"  No loop closure detected (gap={gap} frames).")
             return LoopResult(found=False)
         pq = jnp.asarray([p[0] for p in pairs], jnp.int32)
         pt = jnp.asarray([p[1] for p in pairs], jnp.int32)
@@ -521,52 +549,53 @@ class SfMPipeline:
         lv = self.config.loop_verify
         cand = [i for i, c in enumerate(counts) if c > lv.min_matches]
         if not cand:
+            self.log(f"  No loop closure detected (gap={gap} frames).")
             return LoopResult(found=False)
 
-        # Verify the top candidates with ONE vmapped batched-RANSAC call
-        # (the reference's sequential verify loop, main.cpp:1386-1418,
-        # fanned out; fixed candidate budget keeps shapes static).
-        max_cand = 16
-        cand = sorted(cand, key=lambda i: -counts[i])[:max_cand]
-        pad_n = max_cand - len(cand)
-        cand_padded = cand + [cand[0]] * pad_n
-        cq = jnp.asarray([pairs[i][0] for i in cand_padded], jnp.int32)
-        ct = jnp.asarray([pairs[i][1] for i in cand_padded], jnp.int32)
-        keys = jax.random.split(jax.random.PRNGKey(7), max_cand)
+        # Verify ALL candidates, most-matched first, in fixed-shape chunks —
+        # the reference's sequential verify loop (main.cpp:1386-1418) fanned
+        # out as vmapped batched RANSAC.
+        chunk = 16
+        cand = sorted(cand, key=lambda i: -counts[i])
         focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
-        mcounts, midx, mmask, res = _verify_loop_candidates(
-            state.signed, state.kp_valid, state.kp_norm, cq, ct, keys,
-            focal, self.config.match.loop_ratio_threshold,
-            self.config.detector, self.config.ransac)
-        mcounts = np.asarray(mcounts)
-        ninls = np.asarray(res.num_inliers)
-        nposs = np.asarray(res.num_pose_inliers)
-
         best = LoopResult(found=False)
-        for k in range(len(cand)):
-            c, p = pairs[cand[k]]
-            ninl = int(ninls[k])
-            ratio = ninl / max(int(mcounts[k]), 1)
-            if (ninl > lv.min_inliers and ratio > lv.min_inlier_ratio
-                    and ninl > best.num_inliers):
-                npos = int(nposs[k])
-                if npos > lv.min_pose_inliers:
-                    q_idx = np.arange(midx.shape[1])
-                    mask = np.asarray(res.pose_inliers[k])
-                    best = LoopResult(
-                        found=True, curr_kf=c, past_kf=p,
-                        num_matches=int(mcounts[k]), num_inliers=ninl,
-                        num_pose_inliers=npos,
-                        R_rel=np.asarray(res.R[k]),
-                        t_rel=np.asarray(res.t[k]),
-                        inlier_pairs=(q_idx[mask],
-                                      np.asarray(midx[k])[mask]))
+        for start in range(0, len(cand), chunk):
+            block = cand[start:start + chunk]
+            padded = block + [block[0]] * (chunk - len(block))
+            cq = jnp.asarray([pairs[i][0] for i in padded], jnp.int32)
+            ct = jnp.asarray([pairs[i][1] for i in padded], jnp.int32)
+            keys = jax.random.split(jax.random.PRNGKey(7 + start), chunk)
+            mcounts, midx, mmask, res = _verify_loop_candidates(
+                state.signed, state.kp_valid, state.kp_norm, cq, ct, keys,
+                focal, self.config.match.loop_ratio_threshold,
+                self.config.detector, self.config.ransac)
+            mcounts = np.asarray(mcounts)
+            ninls = np.asarray(res.num_inliers)
+            nposs = np.asarray(res.num_pose_inliers)
+            for j in range(len(block)):
+                c, p = pairs[block[j]]
+                ninl = int(ninls[j])
+                ratio = ninl / max(int(mcounts[j]), 1)
+                if (ninl > lv.min_inliers and ratio > lv.min_inlier_ratio
+                        and ninl > best.num_inliers):
+                    npos = int(nposs[j])
+                    if npos > lv.min_pose_inliers:
+                        q_idx = np.arange(midx.shape[1])
+                        mask = np.asarray(res.pose_inliers[j])
+                        best = LoopResult(
+                            found=True, curr_kf=c, past_kf=p,
+                            num_matches=int(mcounts[j]), num_inliers=ninl,
+                            num_pose_inliers=npos,
+                            R_rel=np.asarray(res.R[j]),
+                            t_rel=np.asarray(res.t[j]),
+                            inlier_pairs=(q_idx[mask],
+                                          np.asarray(midx[j])[mask]))
         if best.found:
-            self.log(f"Loop closure: keyframe {best.curr_kf} <-> "
-                     f"{best.past_kf} ({best.num_inliers} inliers, "
-                     f"{best.num_pose_inliers} pose inliers)")
+            # reference success line (main.cpp:1425-1428)
+            self.log(f"  Best loop closure: Frame {best.curr_kf} <-> "
+                     f"Frame {best.past_kf} ({best.num_inliers} inliers)")
         else:
-            self.log("No loop closure found")
+            self.log(f"  No loop closure detected (gap={gap} frames).")
         return best
 
     # -- backend -----------------------------------------------------------
@@ -577,15 +606,33 @@ class SfMPipeline:
             return state
         k = int(state.kf_count)
         params = state.poses[:k]
+
+        def drift_deg(poses_params):
+            # rotation drift between the loop measurement and the odometry
+            # chain (main.cpp:1476-1482, 1487-1491)
+            Rc, _ = lie.params_to_pose(poses_params[loop.curr_kf])
+            Rp, _ = lie.params_to_pose(poses_params[loop.past_kf])
+            R_seq = Rc @ Rp.T
+            ang = lie.rotation_error(jnp.asarray(loop.R_rel), R_seq)
+            return float(jnp.degrees(ang))
+
         if self.config.pgo.method == PoseGraphMethod.GAUSS_NEWTON:
+            self.log("  Using Gauss-Newton pose graph optimization...")
             g = pgo.build_trajectory_graph(
                 params, jnp.asarray(loop.past_kf), jnp.asarray(loop.curr_kf),
                 jnp.asarray(loop.R_rel), jnp.asarray(loop.t_rel),
                 self.config.pgo.loop_edge_weight)
+            self.log(f"  Built pose graph: {k} edges ({k - 1} sequential "
+                     "+ 1 loop closure)")
+            self.log(f"  Rotation drift before PGO: {drift_deg(params):g} "
+                     "degrees")
             drift0 = float(pgo.total_cost(params, g))
             opt, costs = pgo.optimize_pose_graph(params, g, self.config.pgo)
             self.log(f"PGO cost: {drift0:.6f} -> {float(costs[-1]):.6f}")
+            self.log(f"  Rotation drift after PGO: {drift_deg(opt):g} "
+                     "degrees")
         else:
+            self.log("  Using simple linear pose correction...")
             opt = pgo.simple_pose_correction(
                 params, jnp.asarray(loop.past_kf), jnp.asarray(loop.curr_kf),
                 jnp.asarray(loop.R_rel))
@@ -616,7 +663,7 @@ class SfMPipeline:
         o_cap = state.obs_cam.shape[0] - 1
         count = min(len(cams), o_cap - base)
         sl = slice(base, base + count)
-        self.log(f"Added {count} loop observations")
+        self.log(f"  Added {count} loop closure observations.")
         return state._replace(
             obs_cam=state.obs_cam.at[sl].set(np.asarray(cams[:count],
                                                         np.int32)),
@@ -626,6 +673,24 @@ class SfMPipeline:
                                                       np.float32)),
             obs_valid=state.obs_valid.at[sl].set(True),
             obs_count=jnp.asarray(base + count, jnp.int32))
+
+    def _log_reconstruction_summary(self, state: MapState):
+        """Reference report block (main.cpp:1524-1538): keyframe / point /
+        observation totals, the fixed origin pose, and the last keyframe's
+        camera center."""
+        k = int(state.kf_count)
+        self.log("\n=== Reconstruction Summary ===")
+        self.log(f"Number of keyframes: {k}")
+        self.log(f"Total 3D points: {int(state.point_count)}")
+        self.log(f"Total observations: {int(state.obs_count)}")
+        self.log("\nFirst keyframe pose (origin):")
+        self.log("  R = I, t = [0,0,0]")
+        if k > 1:
+            R, t = lie.params_to_pose(state.poses[k - 1])
+            C = np.asarray(-R.T @ t)
+            self.log(f"\nLast keyframe pose (keyframe {k - 1}, "
+                     f"frame {int(state.kf_frame[k - 1])}):")
+            self.log(f"  Camera center: [{C[0]:g}, {C[1]:g}, {C[2]:g}]")
 
     def bundle_adjust(self, state: MapState,
                       outer_iterations: int | None = None):
@@ -643,14 +708,20 @@ class SfMPipeline:
         res = outliers.remove_outliers(
             self.K, state.poses, k_mask, state.points, state.point_valid,
             obs, self.config.outlier)
-        n_out = int(res.n_behind) + int(res.n_reproj) + int(res.n_far)
+        # Reference outlier block (main.cpp:1620-1658) — counts, threshold,
+        # and post-filter totals.
+        n_out = int(res.n_outliers)
         before = max(int(res.n_points_before), 1)
-        self.log(f"Outlier removal: {n_out} / {before} points "
-                 f"({100.0 * n_out / before:.1f}%) removed "
-                 f"[behind={int(res.n_behind)} reproj={int(res.n_reproj)} "
-                 f"far={int(res.n_far)}]")
-        return state._replace(point_valid=res.point_valid,
-                              obs_valid=res.obs_valid)
+        self.log(f"  Outliers detected: {n_out} / {before} "
+                 f"({100.0 * n_out / before:.1f}%)")
+        self.log(f"  Distance threshold: {float(res.distance_threshold):g}")
+        state = state._replace(point_valid=res.point_valid,
+                               obs_valid=res.obs_valid)
+        self.log(f"  Points after filtering: "
+                 f"{int(jnp.sum(res.point_valid.astype(jnp.int32)))}")
+        self.log(f"  Observations after filtering: "
+                 f"{int(jnp.sum(res.obs_valid.astype(jnp.int32)))}")
+        return state
 
     # -- end-to-end --------------------------------------------------------
 
@@ -682,18 +753,28 @@ class SfMPipeline:
             ckpt.save_map_state(
                 ckpt.stage_checkpoint_path(data_dir, "pgo"), state)
 
+        self._log_reconstruction_summary(state)
+
         obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
                               state.obs_valid)
         e0 = float(ba.mean_reprojection_error(self.K, state.poses,
                                               state.points, obs))
+        self.log(f"\nReprojection error BEFORE BA: {e0:g} px")
         state, errs = self.bundle_adjust(state)
         e1 = float(errs[-1])
-        self.log(f"Mean reprojection error: {e0:.3f} -> {e1:.3f} px (BA)")
+        self.log(f"\nReprojection error AFTER BA: {e1:g} px")
 
+        self.log("\n=== Outlier Removal ===")
         state = self.remove_outliers(state)
+        self.log("\n=== Final Bundle Adjustment ===")
+        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
+                              state.obs_valid)
+        ef = float(ba.mean_reprojection_error(self.K, state.poses,
+                                              state.points, obs))
+        self.log(f"Reprojection error after filtering: {ef:g} px")
         state, errs2 = self.bundle_adjust(state, outer_iterations=3)
         e2 = float(errs2[-1])
-        self.log(f"Final reprojection error: {e2:.3f} px")
+        self.log(f"\nFINAL reprojection error: {e2:g} px")
 
         obj_path = None
         if write_obj:

@@ -29,9 +29,11 @@ class OutlierResult(NamedTuple):
     point_valid: jax.Array   # [P] bool updated validity
     obs_valid: jax.Array     # [O] bool observations of surviving points
     n_points_before: jax.Array
+    n_outliers: jax.Array    # total points removed (each counted once)
     n_behind: jax.Array      # points rejected: behind some camera
     n_reproj: jax.Array      # points rejected: reprojection error
     n_far: jax.Array         # points rejected: too far from camera centroid
+    distance_threshold: jax.Array  # the max(floor, scale*spread) used
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -76,7 +78,9 @@ def remove_outliers(K: jax.Array, cam_params: jax.Array, cam_valid: jax.Array,
         point_valid=new_point_valid,
         obs_valid=new_obs_valid,
         n_points_before=cnt(point_valid),
+        n_outliers=cnt(outlier),
         n_behind=cnt(point_valid & behind_pt),
         n_reproj=cnt(point_valid & reproj_pt),
         n_far=cnt(point_valid & far_pt),
+        distance_threshold=max_dist,
     )

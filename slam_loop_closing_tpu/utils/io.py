@@ -60,6 +60,35 @@ def _iter_video_frames(video_path: str):
     cap.release()
 
 
+def _video_metadata(video_path: str) -> tuple[float, int]:
+    """(fps, total_frames) of a video, best effort — the reference prints
+    both before extracting (extract_images_from_mov.cpp:31-34). Returns
+    (0.0, 0) when no decoder can report them."""
+    try:
+        import imageio.v3 as iio
+        meta = iio.immeta(video_path)
+        fps = float(meta.get("fps", 0.0))
+        dur = float(meta.get("duration", 0.0) or 0.0)
+        n = int(meta.get("nframes", 0) or 0)
+        if n <= 0 and fps > 0 and dur > 0:
+            n = int(round(fps * dur))
+        if fps > 0 or n > 0:
+            return fps, n
+    except Exception:
+        pass
+    try:
+        import cv2
+        cap = cv2.VideoCapture(video_path)
+        if cap.isOpened():
+            fps = float(cap.get(cv2.CAP_PROP_FPS))
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            return fps, n
+    except Exception:
+        pass
+    return 0.0, 0
+
+
 def _write_png(path: Path, img: np.ndarray) -> None:
     from PIL import Image
 
@@ -82,13 +111,20 @@ def extract_images(video_path: str, data_dir: str = "data",
             "Skipping image extraction.")
         return out_dir
     out_dir.mkdir(parents=True)
+    # Reference prints the open confirmation + FPS/frame-count before the
+    # extraction loop (extract_images_from_mov.cpp:31-34).
+    fps, total = _video_metadata(str(video))
+    log(f"Video opened successfully: {video}")
+    log(f"FPS: {fps:g}, Total Frames: {total}")
     count = 0
     for frame in _iter_video_frames(str(video)):
         _write_png(out_dir / f"frame_{count:04d}.png", frame)
-        count += 1
         if count % 100 == 0:
-            log(f"Extracted {count} frames...")
-    log(f"Extraction complete: {count} frames written to {out_dir}")
+            # progress print BEFORE the increment, so frame 0 logs too
+            # (extract_images_from_mov.cpp:52-54)
+            log(f"Extracted frame {count} / {total}")
+        count += 1
+    log(f"Finished extraction. Total frames saved: {count} to {out_dir}")
     return out_dir
 
 
@@ -195,26 +231,40 @@ def reconstruction_obj_path(data_dir: str = "data") -> Path:
 # loop-closure outputs (Version A)
 # ---------------------------------------------------------------------------
 
+def format_loop_closures(loops: Iterable[dict],
+                         total_frames: int | None = None) -> str:
+    """Render the loop-closure report byte-identical to the reference's
+    example output (README.md:150-166): the ``=== Processing Complete ===``
+    header with totals, then a ``Loop Closures Detected:`` section with one
+    ``Frame X <-> Frame Y`` block per loop. Similarity uses C++ default
+    ostream formatting (6 significant digits, trailing zeros trimmed — the
+    README shows both ``0.2085`` and ``0.217``), i.e. Python ``%g``.
+
+    Each loop dict: {current, matched, num_matches, similarity}."""
+    loops = list(loops)
+    out = ["=== Processing Complete ==="]
+    if total_frames is not None:
+        out.append(f"Total frames processed: {total_frames}")
+    out.append(f"Loop closures detected: {len(loops)}")
+    out.append("")
+    out.append("Loop Closures Detected:")
+    out.append("======================")
+    out.append("")
+    for lp in loops:
+        out.append(f"Frame {lp['current']} <-> Frame {lp['matched']}")
+        out.append(f"  Matches: {lp['num_matches']}")
+        out.append(f"  Similarity: {lp['similarity']:g}")
+        out.append("")
+    return "\n".join(out)
+
+
 def write_loop_closures_txt(path: str | Path, loops: Iterable[dict],
                             total_frames: int | None = None) -> Path:
-    """``loop_closures.txt`` in the README's format (README.md:150-166):
-    a summary header then one block per loop with frame pair, match count and
-    similarity score. Each loop dict: {current, matched, num_matches,
-    similarity}."""
+    """``loop_closures.txt`` in the README's exact format — see
+    :func:`format_loop_closures`."""
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
-    loops = list(loops)
-    with open(p, "w") as f:
-        f.write("Loop Closure Detection Results\n")
-        f.write("==============================\n")
-        if total_frames is not None:
-            f.write(f"Frames processed: {total_frames}\n")
-        f.write(f"Loop closures detected: {len(loops)}\n\n")
-        for lp in loops:
-            f.write(f"Loop closure: frame {lp['current']} <-> "
-                    f"frame {lp['matched']}\n")
-            f.write(f"  Matches: {lp['num_matches']}\n")
-            f.write(f"  Similarity: {lp['similarity']:.4f}\n\n")
+    p.write_text(format_loop_closures(loops, total_frames))
     return p
 
 

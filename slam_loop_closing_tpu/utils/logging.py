@@ -47,15 +47,21 @@ class PipelineLogger:
     # reference-format lines ------------------------------------------------
     def keyframe_accepted(self, frame: int, kf_index: int, matches: int,
                           median_disp: float, inliers: int):
-        self(f"Frame {frame}: accepted as keyframe {kf_index} "
-             f"({matches} matches, median displacement {median_disp:.1f} px, "
-             f"{inliers} inliers)")
+        """Reference acceptance line (main.cpp:1202-1206):
+        ``\\nKeyframe K (frame F): disp=Xpx, matches=M, inliers=I (P%)``."""
+        pct = 100.0 * inliers / max(matches, 1)
+        self(f"\nKeyframe {kf_index} (frame {frame}): "
+             f"disp={median_disp:.1f}px, matches={matches}, "
+             f"inliers={inliers} ({pct:.0f}%)")
 
-    def triangulation_counters(self, created: int, merged: int, behind: int,
-                               depth: int, parallax: int, reproj: int):
-        self(f"Triangulated {created} new points, merged {merged} "
-             f"observations (rejected: behind={behind} depth={depth} "
-             f"parallax={parallax} reproj={reproj})")
+    def triangulation_counters(self, created: int, merged: int,
+                               parallax: int, reproj: int, depth: int):
+        """Reference counter line (main.cpp:1343-1346). The reference folds
+        behind-camera rejections into the depth counter (main.cpp:1283-1295)
+        and orders the classes parallax, reproj, depth."""
+        self(f"  New: {created}, Merged: {merged} "
+             f"(rejected: parallax={parallax}, reproj={reproj}, "
+             f"depth={depth})")
 
     def pgo_cost(self, iteration: int, cost: float):
         if iteration % 5 == 0:

@@ -39,7 +39,31 @@ class TestObj:
 
 
 class TestLoopTxt:
-    def test_format(self, tmp_path):
+    # The reference README's example output block (README.md:150-166),
+    # verbatim: this is the golden transcript loop_closures.txt must
+    # byte-match (modulo the example's trailing "..." continuation marker).
+    GOLDEN = (
+        "=== Processing Complete ===\n"
+        "Total frames processed: 97\n"
+        "Loop closures detected: 45\n"
+        "\n"
+        "Loop Closures Detected:\n"
+        "======================\n"
+        "\n"
+        "Frame 93 <-> Frame 0\n"
+        "  Matches: 434\n"
+        "  Similarity: 0.2085\n"
+        "\n"
+        "Frame 96 <-> Frame 0\n"
+        "  Matches: 236\n"
+        "  Similarity: 0.217\n"
+    )
+
+    def test_golden_readme_format(self, tmp_path):
+        """Byte-match against the README example (README.md:150-166). The
+        README shows 45 loops but lists only the two example blocks; we
+        write exactly those two and compare the full prefix byte-for-byte
+        with the loop count patched to the written number."""
         p = io_utils.write_loop_closures_txt(
             tmp_path / "loop_closures.txt",
             [{"current": 93, "matched": 0, "num_matches": 434,
@@ -47,13 +71,19 @@ class TestLoopTxt:
              {"current": 96, "matched": 0, "num_matches": 236,
               "similarity": 0.217}],
             total_frames=97)
-        text = p.read_text()
-        # README.md:150-166 example block shape
-        assert "Frames processed: 97" in text
-        assert "Loop closures detected: 2" in text
-        assert "Loop closure: frame 93 <-> frame 0" in text
-        assert "Matches: 434" in text
-        assert "Similarity: 0.2085" in text
+        expected = self.GOLDEN.replace("Loop closures detected: 45",
+                                       "Loop closures detected: 2")
+        assert p.read_text() == expected
+
+    def test_similarity_cpp_default_formatting(self, tmp_path):
+        """Similarity must print like C++ default ostream (6 significant
+        digits, trailing zeros trimmed) — the README shows both 0.2085 and
+        0.217."""
+        text = io_utils.format_loop_closures(
+            [{"current": 1, "matched": 0, "num_matches": 10,
+              "similarity": 0.217000}])
+        assert "  Similarity: 0.217\n" in text
+        assert "0.2170" not in text
 
 
 class TestFrames:

@@ -45,14 +45,16 @@ class TestBatched:
         sys_.process_video(orbit_frames)
         out = sys_.save_results(tmp_path)
         text = out.read_text()
-        assert "Loop Closure Detection Results" in text
-        assert "Loop closures detected:" in text
+        # README.md:150-166 block format
+        assert text.startswith("=== Processing Complete ===\n")
+        assert "Total frames processed: 32" in text
+        assert "Loop Closures Detected:\n======================\n" in text
         n = len(sys_.get_loop_closures())
         assert f"Loop closures detected: {n}" in text
         if n:
             c = sys_.get_loop_closures()[0]
-            assert (f"Loop closure: frame {c.current_frame_id} <-> "
-                    f"frame {c.matched_frame_id}") in text
+            assert (f"Frame {c.current_frame_id} <-> "
+                    f"Frame {c.matched_frame_id}") in text
             assert (tmp_path / f"loop_{c.current_frame_id}_"
                     f"{c.matched_frame_id}.png").exists()
 

@@ -113,3 +113,155 @@ class TestSfM:
         text = open(res.obj_path).read()
         assert text.startswith("# Reconstruction point cloud")
         assert "v " in text
+
+
+class TestTriangulationCounters:
+    """The reference prints per-keyframe rejection counters
+    (main.cpp:1343-1346: parallax / reproj / depth, with behind-camera folded
+    into depth). Each gate is tripped by tightening its threshold on the
+    same orbit scene and the counters must surface through StepInfo."""
+
+    def _counters(self, sfm_cfg, frames, **tri_overrides):
+        import dataclasses as dc
+
+        from slam_loop_closing_tpu.config import TriangulationConfig
+
+        cfg = dc.replace(sfm_cfg,
+                         triangulation=TriangulationConfig(**tri_overrides))
+        pipe = SfMPipeline(cfg, max_keyframes=32, max_points=8192,
+                           max_obs=32768, log=lambda *a: None)
+        _, infos = pipe.run_frontend_and_keyframes(frames[:8])
+        return (sum(int(i.n_rej_parallax) for i in infos),
+                sum(int(i.n_rej_reproj) for i in infos),
+                sum(int(i.n_rej_depth) for i in infos),
+                sum(int(i.n_triangulated) for i in infos))
+
+    def test_parallax_gate_counted(self, sfm_cfg, frames):
+        par, _, _, _ = self._counters(sfm_cfg, frames,
+                                      min_parallax_deg=45.0)
+        assert par > 0
+
+    def test_reproj_gate_counted(self, sfm_cfg, frames):
+        _, rep, _, _ = self._counters(sfm_cfg, frames,
+                                      max_reproj_error_px=0.01)
+        assert rep > 0
+
+    def test_depth_gate_counted(self, sfm_cfg, frames):
+        _, _, dep, _ = self._counters(sfm_cfg, frames, max_depth_rel=0.5)
+        assert dep > 0
+
+    def test_counters_logged_in_reference_format(self, sfm_cfg, frames):
+        """The host loop must emit the reference's counter line
+        (main.cpp:1343-1346) with real numbers."""
+        import io
+
+        from slam_loop_closing_tpu.config import TriangulationConfig
+        from slam_loop_closing_tpu.utils.logging import PipelineLogger
+
+        cfg = dataclasses.replace(
+            sfm_cfg, triangulation=TriangulationConfig(min_parallax_deg=45.0))
+        stream = io.StringIO()
+        pipe = SfMPipeline(cfg, max_keyframes=32, max_points=8192,
+                           max_obs=32768, log=PipelineLogger(stream=stream))
+        pipe.run_frontend_and_keyframes(frames[:8])
+        out = stream.getvalue()
+        assert "(rejected: parallax=" in out
+        import re
+
+        rejected = [int(m.group(1)) for m in
+                    re.finditer(r"rejected: parallax=(\d+)", out)]
+        assert sum(rejected) > 0
+
+    def test_scan_path_surfaces_counters(self, sfm_cfg, frames):
+        """The lax.scan fast path returns the same stacked counters."""
+        from slam_loop_closing_tpu.config import TriangulationConfig
+
+        cfg = dataclasses.replace(
+            sfm_cfg, triangulation=TriangulationConfig(min_parallax_deg=45.0))
+        pipe = SfMPipeline(cfg, max_keyframes=32, max_points=8192,
+                           max_obs=32768, use_scan=True, log=lambda *a: None)
+        _, infos = pipe.run_frontend_and_keyframes_scan(frames[:8])
+        assert int(np.asarray(infos.n_rej_parallax).sum()) > 0
+
+
+def _make_loop_state(pipe, n_kf=42, n_feat=256, shared_decoy=120,
+                     shared_winner=100, n_decoys=20, winner_valid=None,
+                     seed=0):
+    """Hand-built MapState for loop-search tests: ``n_decoys`` candidate
+    pairs with MANY descriptor matches but random geometry (high match
+    count, low RANSAC inliers) and one 'winner' pair with fewer matches but
+    perfectly consistent two-view geometry (the global inlier-best)."""
+    import jax.numpy as jnp
+
+    from slam_loop_closing_tpu.models.sfm import init_map_state
+
+    rng = np.random.default_rng(seed)
+    state = init_map_state(n_kf, n_feat, 1024, 4096)
+
+    signed = rng.choice(np.array([-1, 1], np.int8),
+                        size=(n_kf, n_feat, 256))
+    norm = rng.uniform(-0.5, 0.5, size=(n_kf, n_feat, 2)).astype(np.float32)
+    valid = np.ones((n_kf, n_feat), bool)
+
+    gap = n_kf // 2  # find_loop's gap = max(3, k//2)
+    # decoy pairs (gap+i, i): shared descriptors, random geometry
+    for i in range(n_decoys):
+        c, p = gap + i, i
+        signed[c, :shared_decoy] = signed[p, :shared_decoy]
+    # winner pair (n_kf-1, gap-1): fewer shared descriptors, true geometry
+    c, p = n_kf - 1, gap - 1
+    signed[c, :shared_winner] = signed[p, :shared_winner]
+    X = np.stack([rng.uniform(-1, 1, shared_winner),
+                  rng.uniform(-1, 1, shared_winner),
+                  rng.uniform(4, 8, shared_winner)], axis=1)
+    # camera p at origin; camera c translated + slightly rotated
+    th = 0.1
+    R2 = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]])
+    t2 = np.array([0.5, 0.1, 0.0])
+    Xp, Xc = X, X @ R2.T + t2
+    norm[p, :shared_winner] = (Xp[:, :2] / Xp[:, 2:3]).astype(np.float32)
+    norm[c, :shared_winner] = (Xc[:, :2] / Xc[:, 2:3]).astype(np.float32)
+    if winner_valid is not None:
+        valid[p] = False
+        valid[p, :winner_valid] = True
+
+    return state._replace(
+        kf_count=jnp.asarray(n_kf, jnp.int32),
+        signed=jnp.asarray(signed),
+        kp_valid=jnp.asarray(valid),
+        kp_norm=jnp.asarray(norm)), (c, p)
+
+
+class TestLoopSearch:
+    @pytest.fixture()
+    def loop_pipe(self, sfm_cfg):
+        from slam_loop_closing_tpu.config import (LoopVerifyConfig,
+                                                  RansacConfig)
+
+        cfg = dataclasses.replace(
+            sfm_cfg,
+            loop_verify=LoopVerifyConfig(min_matches=50, min_inliers=60,
+                                         min_inlier_ratio=0.5,
+                                         min_pose_inliers=30),
+            ransac=RansacConfig(num_hypotheses=128))
+        return SfMPipeline(cfg, max_keyframes=42, max_points=1024,
+                           max_obs=4096, log=lambda *a: None)
+
+    def test_inlier_best_beyond_top16_is_found(self, loop_pipe):
+        """The reference keeps the global best by INLIER count over every
+        qualifying pair (main.cpp:1375-1421). 20 decoy pairs outrank the
+        true loop by match count; it must still win."""
+        state, (c, p) = _make_loop_state(loop_pipe)
+        res = loop_pipe.find_loop(state)
+        assert res.found
+        assert (res.curr_kf, res.past_kf) == (c, p)
+        assert res.num_inliers >= 60
+
+    def test_min_descriptor_gate(self, loop_pipe):
+        """Pairs where either frame has <100 descriptors are skipped
+        (main.cpp:1382) even if they would verify."""
+        state, _ = _make_loop_state(loop_pipe, winner_valid=99,
+                                    shared_winner=99)
+        res = loop_pipe.find_loop(state)
+        assert not res.found
