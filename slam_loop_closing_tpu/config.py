@@ -69,7 +69,7 @@ class MatchConfig:
     ratio_threshold: float = 0.75   # Lowe ratio, main.cpp:513 default
     loop_ratio_threshold: float = 0.7   # tighter ratio in loop search, main.cpp:1386
     hamming_filter_scale: float = 2.0   # keep dist < 2 x min dist, README.md:117
-    min_good_matches: int = 50      # README.md:125: >=50 good matches for a loop
+    # (the >=50-good-matches loop gate lives in LoopConfig.min_matches)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -218,9 +218,10 @@ class CalibrationConfig:
     board_cols: int = 9             # calibrate.cpp:9 inner corners
     board_rows: int = 6
     square_size_m: float = 0.03     # calibrate.cpp:10: 3 cm squares
-    refine_window: int = 11         # cornerSubPix 11x11, calibrate.cpp:85
-    refine_iterations: int = 30     # calibrate.cpp:86
-    refine_eps: float = 1e-3
+    refine_window: int = 11         # cornerSubPix 11x11 half-window, calibrate.cpp:85
+    refine_iterations: int = 30     # cornerSubPix term criteria, calibrate.cpp:86
+    refine_eps: float = 1e-3        # cornerSubPix eps, calibrate.cpp:86
+    lm_iterations: int = 30         # joint-LM iterations (cv::calibrateCamera stage)
 
 
 @dataclasses.dataclass(frozen=True)

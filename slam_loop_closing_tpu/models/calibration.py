@@ -113,6 +113,56 @@ def xcorner_scores(img: jax.Array, xy: jax.Array) -> jax.Array:
     return jax.vmap(one)(xy)
 
 
+@functools.partial(jax.jit, static_argnames=("window", "iterations"))
+def refine_corners_subpix(img: jax.Array, xy: jax.Array, window: int = 11,
+                          iterations: int = 30, eps: float = 1e-3
+                          ) -> jax.Array:
+    """``cv::cornerSubPix`` equivalent (calibrate.cpp:85-86: 11x11 window,
+    30 iterations, eps 1e-3), vmapped over all corners.
+
+    Classic gradient-orthogonality iteration: at a saddle point every window
+    pixel's gradient is orthogonal to its offset from the corner, so p
+    solves ``sum(w g g^T) p = sum(w g g^T q)`` over window pixels q with
+    Gaussian weights w. ``window`` is the half-size like OpenCV's
+    cv::Size(11, 11) (search side = 2*11+1). Iteration stops (freezes) per
+    corner once the update drops below ``eps``."""
+    gy, gx = jnp.gradient(img)
+    half = window
+    d = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    dxs, dys = jnp.meshgrid(d, d)
+    offs = jnp.stack([dxs.ravel(), dys.ravel()], -1)        # [W, 2]
+    wgt = jnp.exp(-(offs[:, 0] ** 2 + offs[:, 1] ** 2)
+                  / (2.0 * (half / 2.0) ** 2))
+
+    def one(p0):
+        def body(carry, _):
+            p, frozen = carry
+            q = p[None, :] + offs                            # [W, 2]
+            gxs = jax.vmap(lambda pt: image_ops.bilinear_sample(gx, pt))(q)
+            gys = jax.vmap(lambda pt: image_ops.bilinear_sample(gy, pt))(q)
+            gxx = jnp.sum(wgt * gxs * gxs)
+            gxy = jnp.sum(wgt * gxs * gys)
+            gyy = jnp.sum(wgt * gys * gys)
+            A = jnp.array([[gxx, gxy], [gxy, gyy]])
+            b = jnp.stack([
+                jnp.sum(wgt * (gxs * gxs * q[:, 0] + gxs * gys * q[:, 1])),
+                jnp.sum(wgt * (gxs * gys * q[:, 0] + gys * gys * q[:, 1]))])
+            ok = jnp.abs(jnp.linalg.det(A)) > 1e-12
+            new_p = jnp.where(
+                ok, jnp.linalg.solve(A + 1e-12 * jnp.eye(2), b), p)
+            move = jnp.linalg.norm(new_p - p)
+            # clamp runaway updates (flat windows) and freeze on convergence
+            new_p = jnp.where(move < 2.0, new_p, p)
+            new_p = jnp.where(frozen, p, new_p)
+            return (new_p, frozen | (move < eps)), None
+
+        (p, _), _ = jax.lax.scan(body, (p0, jnp.asarray(False)), None,
+                                 length=iterations)
+        return p
+
+    return jax.vmap(one)(xy)
+
+
 def order_grid(xy: np.ndarray, rows: int, cols: int) -> np.ndarray | None:
     """Order detected corners into a row-major [rows*cols, 2] grid (host
     helper; mirrors the both-orientations retry of calibrate.cpp:65-108).
@@ -177,24 +227,36 @@ def order_grid(xy: np.ndarray, rows: int, cols: int) -> np.ndarray | None:
     return assign.astype(np.float32)
 
 
-def find_chessboard(img: np.ndarray, rows: int, cols: int):
-    """Detect + order the inner-corner grid; tries both orientations (the
-    reference tries 9x6 and 6x9, calibrate.cpp:65-108). Returns
-    ([rows*cols, 2] corners row-major, (rows, cols)) or (None, None)."""
+def find_chessboard(img: np.ndarray, rows: int, cols: int,
+                    cfg: CalibrationConfig = CalibrationConfig()):
+    """Detect + order the inner-corner grid; tries both orientations AND two
+    detection scales like the reference (9x6 / 6x9 at full and half
+    resolution, corners scaled back, calibrate.cpp:65-108), then refines
+    every corner on the ORIGINAL image with the cornerSubPix-equivalent
+    (calibrate.cpp:85-86, using cfg.refine_window / refine_iterations /
+    refine_eps). Returns ([rows*cols, 2] corners row-major, (rows, cols)) or
+    (None, None)."""
     n = rows * cols
-    imgj = jnp.asarray(img, jnp.float32)
-    xy, resp, valid = detect_saddle_points(imgj, 3 * n)
-    keep = np.array(valid)
-    xy = np.asarray(xy)
-    # Polarity filter: drop saddle responses that are not X-corners (board
-    # boundary / background artifacts), then keep the strongest n.
-    xs = np.asarray(xcorner_scores(imgj, jnp.asarray(xy)))
-    keep &= xs > 0.25
-    xy = xy[keep]
-    for r, c in ((rows, cols), (cols, rows)):
-        g = order_grid(xy, r, c)
-        if g is not None and _grid_plausible(g, r, c):
-            return g, (r, c)
+    full = jnp.asarray(img, jnp.float32)
+    for scale in (1, 2):
+        imgj = full if scale == 1 else full[::2, ::2]
+        xy, resp, valid = detect_saddle_points(imgj, 3 * n)
+        keep = np.array(valid)
+        xy = np.asarray(xy)
+        # Polarity filter: drop saddle responses that are not X-corners
+        # (board boundary / background artifacts), then keep the strongest n.
+        xs = np.asarray(xcorner_scores(imgj, jnp.asarray(xy)))
+        keep &= xs > 0.25
+        xy = xy[keep]
+        for r, c in ((rows, cols), (cols, rows)):
+            g = order_grid(xy, r, c)
+            if g is not None and _grid_plausible(g, r, c):
+                if scale > 1:
+                    g = g * scale  # scale corners back (calibrate.cpp:79-84)
+                g = np.asarray(refine_corners_subpix(
+                    full, jnp.asarray(g, jnp.float32), cfg.refine_window,
+                    cfg.refine_iterations, cfg.refine_eps))
+                return g.astype(np.float32), (r, c)
     return None, None
 
 
@@ -365,7 +427,7 @@ def calibrate_camera(images: list[np.ndarray], cfg: CalibrationConfig
     grids = []
     layouts = []
     for i, img in enumerate(images):
-        g, layout = find_chessboard(img, rows, cols)
+        g, layout = find_chessboard(img, rows, cols, cfg)
         if g is None:
             log(f"Image {i}: chessboard not found, skipping")
             continue
@@ -399,7 +461,7 @@ def calibrate_camera(images: list[np.ndarray], cfg: CalibrationConfig
     poses0 = jnp.asarray(np.stack(poses0), jnp.float32)
 
     intr, poses, rms = refine_calibration(
-        intr0, poses0, obj3, img_pts, cfg.refine_iterations)
+        intr0, poses0, obj3, img_pts, cfg.lm_iterations)
     intr = np.asarray(intr, np.float64)
     K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1.0]])
     dist = intr[4:9]
@@ -439,7 +501,7 @@ def _write_overlays(images, cfg, out_dir: Path):
 
     out_dir.mkdir(parents=True, exist_ok=True)
     for i, img in enumerate(images):
-        g, _ = find_chessboard(img, cfg.board_rows, cfg.board_cols)
+        g, _ = find_chessboard(img, cfg.board_rows, cfg.board_cols, cfg)
         im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)
                              ).convert("RGB")
         if g is not None:

@@ -81,6 +81,45 @@ class TestCornerDetection:
         assert np.median(err) < 1.0, f"median corner error {np.median(err)}"
 
 
+class TestTwoScaleRetry:
+    def test_downscaled_detection(self, chessboard_set):
+        """The reference retries detection at half resolution
+        (calibrate.cpp:70-79). Pixel-scale checkerboard noise creates saddle
+        points everywhere at full resolution (detection fails) but is
+        constant under stride-2 subsampling — the half-scale pass must find
+        the board and scale corners back accurately."""
+        K, images = chessboard_set
+        img = images[0].copy()
+        ys, xs = np.mgrid[0:img.shape[0], 0:img.shape[1]]
+        noisy = np.clip(img + 0.35 * ((xs + ys) % 2) - 0.175, 0, 1
+                        ).astype(np.float32)
+        g, layout = calibration.find_chessboard(noisy, 6, 9)
+        assert g is not None, "half-scale retry did not find the board"
+        # corners must be full-resolution coordinates, close to the clean
+        # detection
+        g_clean, _ = calibration.find_chessboard(img, 6, 9)
+        err = np.linalg.norm(np.sort(g, axis=0) - np.sort(g_clean, axis=0),
+                             axis=1)
+        assert np.median(err) < 2.0, f"median corner error {np.median(err)}"
+
+
+class TestSubpixRefine:
+    def test_refine_improves_perturbed_corners(self, chessboard_set):
+        """cornerSubPix-equivalent: corners perturbed by ~1.5 px must be
+        pulled back to sub-pixel accuracy on the clean image."""
+        import jax.numpy as jnp
+
+        K, images = chessboard_set
+        g, _ = calibration.find_chessboard(images[0], 6, 9)
+        rng = np.random.default_rng(0)
+        pert = g + rng.uniform(-1.5, 1.5, g.shape).astype(np.float32)
+        ref = np.asarray(calibration.refine_corners_subpix(
+            jnp.asarray(images[0]), jnp.asarray(pert), 5, 30, 1e-3))
+        before = np.linalg.norm(pert - g, axis=1).mean()
+        after = np.linalg.norm(ref - g, axis=1).mean()
+        assert after < 0.5 * before, f"{before:.3f} -> {after:.3f}"
+
+
 class TestCalibration:
     def test_recovers_intrinsics(self, chessboard_set):
         K_gt, images = chessboard_set
