@@ -121,6 +121,7 @@ class RansacConfig:
     num_hypotheses: int = 512       # fixed TPU hypothesis budget
     min_points: int = 8             # main.cpp:574: need >= 8 correspondences
     min_inliers: int = 10           # main.cpp:604
+    refit_iters: int = 5            # LO-RANSAC inlier-refit iterations
 
 
 @dataclasses.dataclass(frozen=True)

