@@ -1,9 +1,18 @@
 """Full Version-B SfM benchmark: front-end + keyframe scan + loop search +
 PGO + alternating BA + outlier removal on a synthetic closed-loop sequence
-(the reference main.cpp pipeline, end to end)."""
+(the reference main.cpp pipeline, end to end).
+
+Two configurations:
+  default        — ORB-1000 at 540p (the TPU-native fast path)
+  --detector sift --num-features 4000 --height 1080 --width 1920
+                 — the configuration the reference actually ships
+                   (cv::SIFT::create(4000) at iPhone resolution,
+                   main.cpp:502, main.cpp:1076-1084)
+"""
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import time
@@ -11,10 +20,21 @@ import time
 import numpy as np
 
 
-def main(frames=96, h=540, w=960, num_features=1000):
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--num-features", type=int, default=1000)
+    ap.add_argument("--detector", choices=["orb", "sift"], default="orb")
+    args = ap.parse_args(argv)
+    frames, h, w = args.frames, args.height, args.width
+    num_features = args.num_features
+
     from slam_loop_closing_tpu.config import (CameraConfig, KeyframeConfig,
                                               LoopVerifyConfig, OrbConfig,
-                                              PipelineConfig, RansacConfig)
+                                              PipelineConfig, RansacConfig,
+                                              SiftConfig)
     from slam_loop_closing_tpu.models.sfm import SfMPipeline
     from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
 
@@ -23,7 +43,9 @@ def main(frames=96, h=540, w=960, num_features=1000):
     cfg = dataclasses.replace(
         PipelineConfig(),
         camera=cam,
+        detector=args.detector,
         orb=OrbConfig(num_features=num_features, grid_cell=8),
+        sift=dataclasses.replace(SiftConfig(), num_features=num_features),
         keyframe=KeyframeConfig(min_median_displacement=2.0,
                                 max_median_displacement=300.0,
                                 min_tracked_features=60,
@@ -44,7 +66,8 @@ def main(frames=96, h=540, w=960, num_features=1000):
     res = pipe.run(video, write_obj=False)
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "sfm_reconstruct_end_to_end",
+        "metric": f"sfm_reconstruct_end_to_end_{args.detector}"
+                  f"{num_features}_{h}p",
         "value": round(frames / dt, 2),
         "unit": "frames/sec",
         "vs_baseline": None,

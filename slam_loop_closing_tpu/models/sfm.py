@@ -325,6 +325,20 @@ def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
         obs_valid=obs_valid, obs_count=obs_count), tri
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _scan_keyframes(state: MapState, und, norm, valid, desc, frame_ids, keys,
+                    K: jax.Array, cfg: PipelineConfig):
+    """The whole keyframe pass as one ``lax.scan`` device program. Module
+    level (NOT a per-call closure) so repeat runs hit the jit cache instead
+    of re-tracing the 95-step scan — re-tracing cost ~10 s per call on this
+    host, ~15x the program's actual device time."""
+    def step(st, x):
+        u, nm, v, d, fid, key = x
+        return _sfm_step(st, u, nm, v, d, fid, key, K, cfg)
+
+    return jax.lax.scan(step, state, (und, norm, valid, desc, frame_ids, keys))
+
+
 # ---------------------------------------------------------------------------
 # loop-closure search over keyframes (main.cpp:1362-1421)
 # ---------------------------------------------------------------------------
@@ -361,6 +375,37 @@ def _verify_loop_candidates(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
         return m.count, m.idx, m.mask, res
 
     return jax.vmap(one)(cand_q, cand_t, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "detector", "cfg"))
+def _verify_loop_scores(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
+                        focal, ratio, detector, cfg):
+    """Scoring-only variant of :func:`_verify_loop_candidates`: returns just
+    the [C, 3] (match count, inlier count, pose-inlier count) table so the
+    host selection loop reads back a few hundred bytes per chunk instead of
+    the full match/inlier arrays (each host readback costs a device round
+    trip; the winner is re-verified once with the same key to fetch its
+    geometry)."""
+    def one(qi, ti, key):
+        m = _match_descriptors(signed[qi], kp_valid[qi], signed[ti],
+                               kp_valid[ti], ratio, detector)
+        res = ransac_ops.estimate_essential_ransac(
+            kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg)
+        return jnp.stack([m.count, res.num_inliers, res.num_pose_inliers])
+
+    # chunked vmap inside one program: all candidates scored in a single
+    # dispatch (the host loop over chunks paid one device round trip each)
+    c = cand_q.shape[0]
+    chunk = min(32, c)
+    pad = (-c) % chunk
+    cq = jnp.concatenate([cand_q, cand_q[:1].repeat(pad, 0)])
+    ct = jnp.concatenate([cand_t, cand_t[:1].repeat(pad, 0)])
+    ks = jnp.concatenate([keys, keys[:1].repeat(pad, 0)])
+    out = jax.lax.map(
+        lambda xs: jax.vmap(one)(*xs),
+        (cq.reshape(-1, chunk), ct.reshape(-1, chunk),
+         ks.reshape(-1, chunk, *keys.shape[1:])))
+    return out.reshape(-1, 3)[:c]
 
 
 @dataclasses.dataclass
@@ -454,20 +499,9 @@ class SfMPipeline:
         b = frames.shape[0]
         keys = jax.random.split(jax.random.PRNGKey(42), b - 1)
         frame_ids = jnp.arange(1, b, dtype=jnp.int32)
-        cfg = self.config
-        K = self.K
-
-        @jax.jit
-        def scan_all(state, xs):
-            def step(st, x):
-                u, nm, v, d, fid, key = x
-                return _sfm_step(st, u, nm, v, d, fid, key, K, cfg)
-
-            return jax.lax.scan(
-                step, state,
-                (und[1:], norm[1:], valid[1:], desc[1:], frame_ids, keys))
-
-        state, infos = scan_all(state, None)
+        state, infos = _scan_keyframes(state, und[1:], norm[1:], valid[1:],
+                                       desc[1:], frame_ids, keys, self.K,
+                                       self.config)
         self._log_keyframe_summary(state, b)
         return state, infos
 
@@ -552,44 +586,52 @@ class SfMPipeline:
             self.log(f"  No loop closure detected (gap={gap} frames).")
             return LoopResult(found=False)
 
-        # Verify ALL candidates, most-matched first, in fixed-shape chunks —
+        # Verify ALL candidates, most-matched first, as ONE device program —
         # the reference's sequential verify loop (main.cpp:1386-1418) fanned
-        # out as vmapped batched RANSAC.
-        chunk = 16
+        # out as chunk-vmapped batched RANSAC. The scoring pass returns only
+        # the 3-counter table (one small readback total); the winner is
+        # re-verified once, with its original key, to fetch the geometry.
+        # The candidate axis is padded to a power of two so the jit cache
+        # holds a handful of shapes, not one per candidate count.
         cand = sorted(cand, key=lambda i: -counts[i])
+        c_real = len(cand)
+        cb = self._bucket(c_real, 1 << 20, floor=32)
+        padded = cand + [cand[0]] * (cb - c_real)
+        cq = jnp.asarray([pairs[i][0] for i in padded], jnp.int32)
+        ct = jnp.asarray([pairs[i][1] for i in padded], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(7), cb)
         focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
+        scores = np.asarray(_verify_loop_scores(
+            state.signed, state.kp_valid, state.kp_norm, cq, ct, keys,
+            focal, self.config.match.loop_ratio_threshold,
+            self.config.detector, self.config.ransac))[:c_real]
+
         best = LoopResult(found=False)
-        for start in range(0, len(cand), chunk):
-            block = cand[start:start + chunk]
-            padded = block + [block[0]] * (chunk - len(block))
-            cq = jnp.asarray([pairs[i][0] for i in padded], jnp.int32)
-            ct = jnp.asarray([pairs[i][1] for i in padded], jnp.int32)
-            keys = jax.random.split(jax.random.PRNGKey(7 + start), chunk)
+        best_row = -1
+        for row, i in enumerate(cand):
+            mcount, ninl, npos = (int(v) for v in scores[row])
+            ratio = ninl / max(mcount, 1)
+            if (ninl > lv.min_inliers and ratio > lv.min_inlier_ratio
+                    and ninl > best.num_inliers
+                    and npos > lv.min_pose_inliers):
+                c, p = pairs[i]
+                best = LoopResult(found=True, curr_kf=c, past_kf=p,
+                                  num_matches=mcount, num_inliers=ninl,
+                                  num_pose_inliers=npos)
+                best_row = row
+        if best.found:
+            cq1 = cq[best_row][None]
+            ct1 = ct[best_row][None]
+            k1 = keys[best_row][None]
             mcounts, midx, mmask, res = _verify_loop_candidates(
-                state.signed, state.kp_valid, state.kp_norm, cq, ct, keys,
+                state.signed, state.kp_valid, state.kp_norm, cq1, ct1, k1,
                 focal, self.config.match.loop_ratio_threshold,
                 self.config.detector, self.config.ransac)
-            mcounts = np.asarray(mcounts)
-            ninls = np.asarray(res.num_inliers)
-            nposs = np.asarray(res.num_pose_inliers)
-            for j in range(len(block)):
-                c, p = pairs[block[j]]
-                ninl = int(ninls[j])
-                ratio = ninl / max(int(mcounts[j]), 1)
-                if (ninl > lv.min_inliers and ratio > lv.min_inlier_ratio
-                        and ninl > best.num_inliers):
-                    npos = int(nposs[j])
-                    if npos > lv.min_pose_inliers:
-                        q_idx = np.arange(midx.shape[1])
-                        mask = np.asarray(res.pose_inliers[j])
-                        best = LoopResult(
-                            found=True, curr_kf=c, past_kf=p,
-                            num_matches=int(mcounts[j]), num_inliers=ninl,
-                            num_pose_inliers=npos,
-                            R_rel=np.asarray(res.R[j]),
-                            t_rel=np.asarray(res.t[j]),
-                            inlier_pairs=(q_idx[mask],
-                                          np.asarray(midx[j])[mask]))
+            mask = np.asarray(res.pose_inliers[0])
+            q_idx = np.arange(midx.shape[1])
+            best.R_rel = np.asarray(res.R[0])
+            best.t_rel = np.asarray(res.t[0])
+            best.inlier_pairs = (q_idx[mask], np.asarray(midx[0])[mask])
         if best.found:
             # reference success line (main.cpp:1425-1428)
             self.log(f"  Best loop closure: Frame {best.curr_kf} <-> "
@@ -692,22 +734,49 @@ class SfMPipeline:
                      f"frame {int(state.kf_frame[k - 1])}):")
             self.log(f"  Camera center: [{C[0]:g}, {C[1]:g}, {C[2]:g}]")
 
+    @staticmethod
+    def _bucket(n: int, cap: int, floor: int = 4096) -> int:
+        """Smallest power-of-two >= n (>= floor, <= cap). The backend works
+        on bucketed slices of the fixed-capacity arrays so its cost scales
+        with the ACTUAL map size, not the declared capacity (a 96-keyframe
+        run fills ~20k of the 262k observation slots; the per-iteration
+        Jacobian/scatter passes and the batched 3x3 solves are linear in the
+        padded size). Power-of-two buckets keep the jit cache small."""
+        b = floor
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
+    def _active_obs(self, state: MapState) -> ba.Observations:
+        nb = self._bucket(int(state.obs_count) + 1, state.obs_cam.shape[0])
+        return ba.Observations(state.obs_cam[:nb], state.obs_point[:nb],
+                               state.obs_uv[:nb], state.obs_valid[:nb])
+
+    def _mean_reproj(self, state: MapState) -> float:
+        return float(ba.mean_reprojection_error(
+            self.K, state.poses, state.points, self._active_obs(state)))
+
     def bundle_adjust(self, state: MapState,
                       outer_iterations: int | None = None):
-        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
-                              state.obs_valid)
+        obs = self._active_obs(state)
+        pb = self._bucket(int(state.point_count) + 1, state.points.shape[0])
         cp, pts, errs = ba.alternating_ba(
-            self.K, state.poses, state.points, obs, state.point_valid,
-            self.config.ba, outer_iterations)
-        return state._replace(poses=cp, points=pts), errs
+            self.K, state.poses, state.points[:pb], obs,
+            state.point_valid[:pb], self.config.ba, outer_iterations)
+        return state._replace(poses=cp,
+                              points=state.points.at[:pb].set(pts)), errs
 
     def remove_outliers(self, state: MapState) -> MapState:
         k_mask = jnp.arange(state.poses.shape[0]) < state.kf_count
-        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
-                              state.obs_valid)
+        obs = self._active_obs(state)
+        pb = self._bucket(int(state.point_count) + 1, state.points.shape[0])
         res = outliers.remove_outliers(
-            self.K, state.poses, k_mask, state.points, state.point_valid,
-            obs, self.config.outlier)
+            self.K, state.poses, k_mask, state.points[:pb],
+            state.point_valid[:pb], obs, self.config.outlier)
+        res = res._replace(
+            point_valid=state.point_valid.at[:pb].set(res.point_valid),
+            obs_valid=state.obs_valid.at[:obs.valid.shape[0]].set(
+                res.obs_valid))
         # Reference outlier block (main.cpp:1620-1658) — counts, threshold,
         # and post-filter totals.
         n_out = int(res.n_outliers)
@@ -755,10 +824,7 @@ class SfMPipeline:
 
         self._log_reconstruction_summary(state)
 
-        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
-                              state.obs_valid)
-        e0 = float(ba.mean_reprojection_error(self.K, state.poses,
-                                              state.points, obs))
+        e0 = self._mean_reproj(state)
         self.log(f"\nReprojection error BEFORE BA: {e0:g} px")
         state, errs = self.bundle_adjust(state)
         e1 = float(errs[-1])
@@ -767,10 +833,7 @@ class SfMPipeline:
         self.log("\n=== Outlier Removal ===")
         state = self.remove_outliers(state)
         self.log("\n=== Final Bundle Adjustment ===")
-        obs = ba.Observations(state.obs_cam, state.obs_point, state.obs_uv,
-                              state.obs_valid)
-        ef = float(ba.mean_reprojection_error(self.K, state.poses,
-                                              state.points, obs))
+        ef = self._mean_reproj(state)
         self.log(f"Reprojection error after filtering: {ef:g} px")
         state, errs2 = self.bundle_adjust(state, outer_iterations=3)
         e2 = float(errs2[-1])

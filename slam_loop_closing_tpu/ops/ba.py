@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_loop_closing_tpu.config import BaConfig
-from slam_loop_closing_tpu.ops import lie
+from slam_loop_closing_tpu.ops import epipolar, lie
 
 
 class Observations(NamedTuple):
@@ -102,9 +102,13 @@ def _per_obs_jacobians_point(K, cam_params, points, obs: Observations):
 def _solve_damped(H: jax.Array, g: jax.Array, damping: float) -> jax.Array:
     """Batched solve of (H + damping*I) delta = -g for tiny blocks
     ([B, d, d], [B, d]) — the LM step of the reference with its fixed
-    damping (main.cpp:676, 800)."""
+    damping (main.cpp:676, 800). 3x3 blocks (the per-point solves, tens of
+    thousands per iteration) use the closed-form adjugate solve; larger
+    blocks (the ~hundred 6x6 camera solves) go through the LU custom call."""
     d = H.shape[-1]
     Hd = H + damping * jnp.eye(d, dtype=H.dtype)[None]
+    if d == 3:
+        return -epipolar._solve3x3(Hd, g)
     return -jnp.linalg.solve(Hd, g[..., None])[..., 0]
 
 
@@ -132,7 +136,8 @@ def refine_cameras(K: jax.Array, cam_params: jax.Array, points: jax.Array,
         e = reprojection_errors(K, cp, points, obs) ** 2
         return jnp.zeros((n,), cp.dtype).at[obs.cam].add(e)
 
-    def body(_, cp):
+    def body(_, carry):
+        cp, err_cp = carry
         r, J = _per_obs_jacobians_cam(K, cp, points, obs)
         # H_c = sum_o J_o^T J_o, g_c = sum_o J_o^T r_o  (per camera)
         JTJ = jnp.einsum("oik,oil->okl", J, J)
@@ -143,13 +148,17 @@ def refine_cameras(K: jax.Array, cam_params: jax.Array, points: jax.Array,
         delta = jnp.where(movable[:, None], delta, 0.0)
         # LM acceptance per camera: keep the step only if that camera's
         # total squared error improves and stays finite (points behind the
-        # camera give exploding 1/z Jacobians that otherwise diverge to NaN)
+        # camera give exploding 1/z Jacobians that otherwise diverge to NaN).
+        # The incumbent's error is carried, not recomputed.
         cand = cp + delta
-        better = (_errs(cand) <= _errs(cp)) & jnp.all(
-            jnp.isfinite(cand), axis=1)
-        return jnp.where(better[:, None], cand, cp)
+        err_cand = _errs(cand)
+        better = (err_cand <= err_cp) & jnp.all(jnp.isfinite(cand), axis=1)
+        return (jnp.where(better[:, None], cand, cp),
+                jnp.where(better, err_cand, err_cp))
 
-    return jax.lax.fori_loop(0, iterations, body, cam_params)
+    out, _ = jax.lax.fori_loop(0, iterations, body,
+                               (cam_params, _errs(cam_params)))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "damping",
@@ -171,7 +180,8 @@ def refine_points(K: jax.Array, cam_params: jax.Array, points: jax.Array,
         e = reprojection_errors(K, cam_params, pts, obs) ** 2
         return jnp.zeros((p,), pts.dtype).at[obs.point].add(e)
 
-    def body(_, pts):
+    def body(_, carry):
+        pts, err_pts = carry
         r, J = _per_obs_jacobians_point(K, cam_params, pts, obs)
         JTJ = jnp.einsum("oik,oil->okl", J, J)
         JTr = jnp.einsum("oik,oi->ok", J, r)
@@ -181,11 +191,13 @@ def refine_points(K: jax.Array, cam_params: jax.Array, points: jax.Array,
         delta = jnp.where(movable[:, None], delta, 0.0)
         # per-point LM acceptance (see refine_cameras)
         cand = pts + delta
-        better = (_errs(cand) <= _errs(pts)) & jnp.all(
-            jnp.isfinite(cand), axis=1)
-        return jnp.where(better[:, None], cand, pts)
+        err_cand = _errs(cand)
+        better = (err_cand <= err_pts) & jnp.all(jnp.isfinite(cand), axis=1)
+        return (jnp.where(better[:, None], cand, pts),
+                jnp.where(better, err_cand, err_pts))
 
-    return jax.lax.fori_loop(0, iterations, body, points)
+    out, _ = jax.lax.fori_loop(0, iterations, body, (points, _errs(points)))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "outer_iterations"))

@@ -132,8 +132,9 @@ def essential_eight_point_fast(x1: jax.Array, x2: jax.Array,
     """8-point solve via the smallest eigenvector of the 9x9 normal matrix
     A^T A (symmetric eigh) instead of the SVD of A — faster, but squares the
     condition number: in float32 the resulting models lose ~half the inliers
-    at a 1 px threshold (measured), so RANSAC uses the SVD solver. Kept for
-    callers with looser thresholds or float64 inputs."""
+    at a 1 px threshold (measured). RANSAC uses :func:`nullspace_8x9` for
+    minimal samples and the SVD solver for refits. Kept for callers with
+    looser thresholds or float64 inputs."""
     Aw = epipolar_design(x1, x2) * weights[:, None]
     M = Aw.T @ Aw
     _, vecs = jnp.linalg.eigh(M)   # ascending eigenvalues
@@ -222,7 +223,33 @@ def triangulate_linear(R1: jax.Array, t1: jax.Array, R2: jax.Array,
     H = jnp.einsum("nij,nik->njk", B, B)
     g = jnp.einsum("nij,ni->nj", B, c)
     H = H + 1e-12 * jnp.eye(3, dtype=H.dtype)[None]
-    return -jnp.linalg.solve(H, g[..., None])[..., 0]
+    return -_solve3x3(H, g)
+
+
+def _solve3x3(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 solve (Cramer / adjugate): pure elementwise
+    VPU arithmetic instead of the batched-LU custom call that
+    ``jnp.linalg.solve`` lowers to — the LU is the dominant cost of
+    triangulation inside the per-frame SfM scan. H must be invertible (the
+    caller's Tikhonov epsilon guarantees it for degenerate rays)."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    p, q, r = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A00 = e * r - f * q
+    A01 = c * q - b * r
+    A02 = b * f - c * e
+    A10 = f * p - d * r
+    A11 = a * r - c * p
+    A12 = c * d - a * f
+    A20 = d * q - e * p
+    A21 = b * p - a * q
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    x0 = (A00 * g[..., 0] + A01 * g[..., 1] + A02 * g[..., 2]) * inv_det
+    x1 = (A10 * g[..., 0] + A11 * g[..., 1] + A12 * g[..., 2]) * inv_det
+    x2 = (A20 * g[..., 0] + A21 * g[..., 1] + A22 * g[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
 
 
 def depths(R: jax.Array, t: jax.Array, X: jax.Array) -> jax.Array:

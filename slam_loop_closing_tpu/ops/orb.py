@@ -351,10 +351,17 @@ def _detect_level(level_img: jax.Array, level: int, budget: int,
     return xy0, resp, ang, octv, valid, bits
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_batch(imgs: jax.Array, pattern: jax.Array,
+                  cfg: OrbConfig) -> OrbFeatures:
+    return jax.vmap(lambda im: detect_and_describe(im, cfg, pattern))(imgs)
+
+
 def detect_and_describe_batch(imgs: jax.Array,
                               cfg: OrbConfig = OrbConfig()) -> OrbFeatures:
     """vmap of :func:`detect_and_describe` over a [B, H, W] frame batch —
     the whole video front-end as one jitted program (SURVEY.md §2.11 DP axis:
-    this is the function that shards over the device mesh by frame)."""
-    pattern = brief_matrices(cfg)
-    return jax.vmap(lambda im: detect_and_describe(im, cfg, pattern))(imgs)
+    this is the function that shards over the device mesh by frame). The jit
+    lives at module level so repeat calls at one shape reuse the cache
+    instead of re-tracing."""
+    return _detect_batch(imgs, brief_matrices(cfg), cfg)

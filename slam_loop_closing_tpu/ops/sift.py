@@ -239,6 +239,9 @@ def detect_and_describe(img: jax.Array,
                         descriptors=de)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def detect_and_describe_batch(imgs: jax.Array,
                               cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
+    """Module-level jit so repeat calls at one shape reuse the cache instead
+    of re-tracing the whole pyramid."""
     return jax.vmap(lambda im: detect_and_describe(im, cfg))(imgs)

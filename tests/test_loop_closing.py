@@ -40,18 +40,25 @@ class TestBatched:
         assert any(c.current_frame_id >= 24 and c.matched_frame_id <= 8
                    for c in loops)
 
-    def test_grid_adapted_same_loop_set(self, small_cfg, orbit_frames):
+    def test_grid_adapted_same_loop_set(self, small_cfg):
         """Grid-adapted selection (one keypoint per cell, the headline-bench
         configuration) must fire the SAME loop pairs as plain top-K — the
-        quality contract behind bench.py's `grid_cell=8` speedup."""
+        quality contract behind bench.py's ``grid_cell=8`` speedup.
+
+        Holds when the cell count well exceeds the feature budget (the bench
+        regime: 32k cells vs 2000 features at 1080p — here 1728 cells vs
+        300); with cells ~ budget the grid constrains selection enough to
+        flip near-threshold pairs (measured Jaccard 0.8 at 144x192)."""
+        frames = orbit_sequence(num_frames=32, h=288, w=384, num_points=250,
+                                seed=3)
         plain = LoopClosingSystem(small_cfg, max_frames=32)
         got_plain = {(c.current_frame_id, c.matched_frame_id)
-                     for c in plain.process_video(orbit_frames)}
+                     for c in plain.process_video(frames)}
         grid_cfg = dataclasses.replace(
             small_cfg, orb=dataclasses.replace(small_cfg.orb, grid_cell=8))
         grid = LoopClosingSystem(grid_cfg, max_frames=32)
         got_grid = {(c.current_frame_id, c.matched_frame_id)
-                    for c in grid.process_video(orbit_frames)}
+                    for c in grid.process_video(frames)}
         assert got_plain, "no loops in the plain configuration"
         assert got_grid == got_plain
 
