@@ -28,6 +28,11 @@ TARGET_FPS = 500.0
 
 
 def main():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / 'benchmarks'))
+    from _common import setup_cache
+    setup_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +47,10 @@ def main():
     # selection stage ~4x faster at 1080p
     cfg = OrbConfig(num_features=2000, grid_cell=8)
     loop_cfg = LoopConfig()
-    min_gap = min(loop_cfg.min_loop_gap, max(3, B // 4))
+    # the reference's gap (README.md:119 MIN_LOOP_GAP=30) whenever the
+    # sequence is long enough to contain loop pairs at that gap
+    min_gap = (loop_cfg.min_loop_gap if B > 2 * loop_cfg.min_loop_gap
+               else max(3, B // 4))
 
     @jax.jit
     def pipeline(fr):

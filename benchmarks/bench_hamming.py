@@ -15,6 +15,9 @@ import numpy as np
 
 
 def main(m=8192, n=8192, reps=10):
+    from _common import setup_cache
+    setup_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from _common import setup_cache
+    setup_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--kitti-root", default=None)
     ap.add_argument("--seq", default="00")

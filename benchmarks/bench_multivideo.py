@@ -13,6 +13,9 @@ import numpy as np
 
 
 def main(num_videos=6, frames=48, h=540, w=960):
+    from _common import setup_cache
+    setup_cache()
+
     from slam_loop_closing_tpu.config import LoopConfig, OrbConfig, PipelineConfig
     import dataclasses
 

@@ -49,6 +49,9 @@ def build_graph(n_poses=10_000, n_loops=100, noise=0.01, seed=0):
 
 
 def main(n_poses=10_000, iterations=10):
+    from _common import setup_cache
+    setup_cache()
+
     import jax.numpy as jnp
 
     from slam_loop_closing_tpu.config import PgoConfig

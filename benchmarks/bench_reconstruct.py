@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from _common import setup_cache
+    setup_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=96)
     ap.add_argument("--height", type=int, default=540)

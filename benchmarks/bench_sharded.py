@@ -30,6 +30,9 @@ def _sync(x):
 
 
 def main():
+    from _common import setup_cache
+    setup_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +45,9 @@ def main():
     frames = orbit_sequence(num_frames=B, h=H, w=W, num_points=300)
     cfg = OrbConfig(num_features=2000, grid_cell=8)
     loop_cfg = LoopConfig()
-    min_gap = min(loop_cfg.min_loop_gap, max(3, B // 4))
+    # same gap rule as bench.py (reference MIN_LOOP_GAP=30 when B allows)
+    min_gap = (loop_cfg.min_loop_gap if B > 2 * loop_cfg.min_loop_gap
+               else max(3, B // 4))
     mesh = mesh_lib.make_mesh()
     d = mesh.devices.size
 

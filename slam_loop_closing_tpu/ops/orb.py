@@ -289,8 +289,13 @@ def brief_matrices(cfg: OrbConfig) -> jax.Array:
     if key not in _G_CACHE:
         pat = make_pattern(cfg.pattern_seed, cfg.descriptor_bits,
                            cfg.patch_size)
-        _G_CACHE[key] = jnp.asarray(
-            make_brief_bin_matrices(pat, cfg.brief_bins))
+        # ensure_compile_time_eval: this may be reached while tracing an
+        # outer jit (e.g. a caller jits a whole pipeline around
+        # detect_and_describe_batch); without it the cache would capture
+        # that trace's tracer and poison every later call.
+        with jax.ensure_compile_time_eval():
+            _G_CACHE[key] = jnp.asarray(
+                make_brief_bin_matrices(pat, cfg.brief_bins))
     return _G_CACHE[key]
 
 

@@ -28,6 +28,7 @@ candidate loop pairs runs as one batched call (SURVEY.md section 2.4).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -135,13 +136,15 @@ def estimate_essential_ransac(
                            num_pose_inliers=num_pose, ok=ok)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def estimate_essential_ransac_pairs(
     x1: jax.Array, x2: jax.Array, mask: jax.Array, keys: jax.Array,
     focal: jax.Array | float, cfg: RansacConfig = RansacConfig(),
 ) -> EssentialResult:
     """vmap of :func:`estimate_essential_ransac` over a leading pair axis —
     verification of all candidate loop pairs in parallel (the reference's
-    sequential hot loop #2, main.cpp:1362-1421, flattened)."""
+    sequential hot loop #2, main.cpp:1362-1421, flattened). Jitted at module
+    level so repeat calls at one shape reuse the compiled program."""
     return jax.vmap(
         lambda a, b, m, k: estimate_essential_ransac(a, b, m, k, focal, cfg)
     )(x1, x2, mask, keys)
