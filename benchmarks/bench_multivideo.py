@@ -22,9 +22,12 @@ def main(num_videos=6, frames=48, h=540, w=960):
     from slam_loop_closing_tpu.models.loop_closing import LoopClosingSystem
     from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
 
+    # ship as uint8 (what the PNG extraction stage produces) — the
+    # host->device tunnel is the bottleneck for multi-video batches
     videos = np.stack([
         orbit_sequence(num_frames=frames, h=h, w=w, num_points=300, seed=s)
         for s in range(num_videos)])
+    videos = (np.clip(videos, 0, 1) * 255).astype(np.uint8)
     cfg = dataclasses.replace(
         PipelineConfig(), orb=OrbConfig(num_features=1000),
         loop=LoopConfig(min_loop_gap=max(3, frames // 3)))

@@ -48,17 +48,31 @@ def main(argv=None):
         camera=cam,
         detector=args.detector,
         orb=OrbConfig(num_features=num_features, grid_cell=8),
+        # flat (non-grid) SIFT selection: grid_cell=4 measured ~equal speed
+        # here but flips near-gate frames on the synthetic orbit
         sift=dataclasses.replace(SiftConfig(), num_features=num_features),
+        # min_inlier_ratio 0.25 instead of the reference's 0.3
+        # (main.cpp:40): the synthetic orbit's repetitive texture yields
+        # ~0.28 SIFT match purity on some frames; one rejection cascades
+        # (the next frame matches the stale keyframe at 2x baseline), which
+        # measures gate tuning rather than throughput.
         keyframe=KeyframeConfig(min_median_displacement=2.0,
                                 max_median_displacement=300.0,
                                 min_tracked_features=60,
-                                min_inlier_ratio=0.3, min_inliers=40),
+                                min_inlier_ratio=0.25, min_inliers=40),
         loop_verify=LoopVerifyConfig(min_matches=60, min_inliers=40,
                                      min_inlier_ratio=0.4,
                                      min_pose_inliers=20),
-        ransac=RansacConfig(num_hypotheses=256),
+        # 1024 hypotheses: the synthetic orbit's repeating texture yields
+        # ~0.4 match purity with occasional coherent false clusters; a
+        # larger batch makes the per-frame miss probability negligible and
+        # costs microseconds on the MXU (one [H, N] Sampson pass).
+        ransac=RansacConfig(num_hypotheses=1024),
     )
+    # uint8 (the PNG extraction stage's native dtype): host->device ships
+    # 4x less data through the tunnel than float32
     video = orbit_sequence(num_frames=frames, h=h, w=w, num_points=400)
+    video = (np.clip(video, 0, 1) * 255).astype(np.uint8)
     pipe = SfMPipeline(cfg, max_keyframes=frames, max_points=65536,
                        max_obs=262144, use_scan=True, log=lambda *a: None)
     # warmup/compile at the FULL shape (a shorter prefix would change the

@@ -60,6 +60,16 @@ class SiftConfig:
     contrast_threshold: float = 0.04
     edge_threshold: float = 10.0
     sigma0: float = 1.6
+    # grid_cell > 0: keep at most one keypoint per cell x cell spatial cell
+    # (max over the scale axis too). Shrinks the top-K input ~cell^2 x
+    # (S+2) and removes multi-scale duplicate keypoints, which measurably
+    # raises match purity; changes which keypoints are picked, so opt-in
+    # like OrbConfig.grid_cell.
+    grid_cell: int = 0
+    # Frames processed per device step in the batched front-end: bounds the
+    # transient Gaussian/DoG stacks ([chunk, S+2, H, W] each — a 96-frame
+    # 1080p batch would need ~15 GB of HBM temps unchunked).
+    batch_chunk: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +80,12 @@ class MatchConfig:
     loop_ratio_threshold: float = 0.7   # tighter ratio in loop search, main.cpp:1386
     hamming_filter_scale: float = 2.0   # keep dist < 2 x min dist, README.md:117
     # (the >=50-good-matches loop gate lives in LoopConfig.min_matches)
+    # Motion-coherence support (ops/matching.motion_support) used as the
+    # PROSAC sampling quality in RANSAC — TPU-native addition, no reference
+    # equivalent (OpenCV compensates with adaptive iteration counts,
+    # main.cpp:589). Radii as fractions of image width.
+    motion_radius_frac: float = 0.13
+    motion_tau_frac: float = 0.016
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,18 @@ from slam_loop_closing_tpu.ops import ransac as ransac_ops
 from slam_loop_closing_tpu.utils import io as io_utils
 
 
+def _ship_frames(frames: np.ndarray) -> jax.Array:
+    """Host->device frame transfer. uint8 frames (the native output of the
+    PNG extraction stage) ship raw and convert to [0,1] float32 on device —
+    the host<->device link runs at tens of MB/s, so shipping float32 costs
+    4x the transfer time for the same pixels (dominant in multi-video
+    batches). Float frames ship unchanged to preserve exact values for
+    callers that already hold floats (synthetic tests)."""
+    if frames.dtype == np.uint8:
+        return jnp.asarray(frames).astype(jnp.float32) / 255.0
+    return jnp.asarray(frames, jnp.float32)
+
+
 @dataclasses.dataclass
 class LoopCandidate:
     """Mirror of the reference's ``LoopCandidate`` (loop_closing.hpp:22-27)."""
@@ -126,7 +138,7 @@ class LoopClosingSystem:
 
     def detect_features(self, image: np.ndarray) -> orb.OrbFeatures:
         """ORB detection (hpp:37: detectFeatures)."""
-        img = jnp.asarray(image, jnp.float32)
+        img = _ship_frames(image)
         return orb.detect_and_describe(img, self.config.orb, self._pattern)
 
     def match_features(self, feats1: orb.OrbFeatures,
@@ -143,8 +155,19 @@ class LoopClosingSystem:
         x1, x2, mask = self._matched_normalized(feats1, feats2, m)
         self._rng, key = jax.random.split(self._rng)
         focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
+        # PROSAC quality = motion-coherence support (see matching.motion_support)
+        mc = self.config.match
+        w_est = 2.0 * float(self.K[0, 2])
+        support = matching.motion_support(
+            x2, x1, mask, max(mc.motion_radius_frac * w_est, 24.0) / focal,
+            max(mc.motion_tau_frac * w_est, 8.0) / focal)
+        quality = (support.astype(jnp.float32)
+                   - m.dist.astype(jnp.float32)
+                   / (1.0 + jnp.max(jnp.where(mask, m.dist, 0)
+                                    .astype(jnp.float32))))
         res = ransac_ops.estimate_essential_ransac(
-            x1, x2, mask, key, focal, self.config.ransac)
+            x1, x2, mask, key, focal, self.config.ransac,
+            quality=quality)
         return res.R, res.t, bool(res.ok)
 
     def triangulate_points(self, feats1, feats2, m: matching.Matches,
@@ -189,8 +212,9 @@ class LoopClosingSystem:
         self._db_xy = self._db_xy.at[idx].set(feats.keypoints.xy)
         self._db_nfeat = self._db_nfeat.at[idx].set(nfeat)
         self._frame_ids.append(fid)
+        host_scale = 255.0 if image.dtype == np.uint8 else 1.0
         self.frames.append(Frame(
-            id=fid, image=np.asarray(image, np.float32),
+            id=fid, image=np.asarray(image, np.float32) / host_scale,
             keypoints_xy=np.asarray(feats.keypoints.xy),
             keypoints_valid=np.asarray(feats.keypoints.valid),
             descriptors=np.asarray(feats.descriptors),
@@ -293,8 +317,8 @@ class LoopClosingSystem:
         if b > self.max_frames:
             raise ValueError("frame stack exceeds max_frames")
         ids = frame_ids if frame_ids is not None else list(range(b))
-        feats = orb.detect_and_describe_batch(
-            jnp.asarray(frames, jnp.float32), self.config.orb)
+        feats = orb.detect_and_describe_batch(_ship_frames(frames),
+                                              self.config.orb)
         nfeat = jnp.sum(feats.keypoints.valid, axis=1).astype(jnp.int32)
 
         cfg = self.config.loop
@@ -323,8 +347,10 @@ class LoopClosingSystem:
         self._db_xy = self._db_xy.at[:b].set(feats.keypoints.xy)
         self._db_nfeat = self._db_nfeat.at[:b].set(nfeat)
         self._frame_ids = list(ids)
+        host_scale = 255.0 if frames.dtype == np.uint8 else 1.0
         self.frames = [
-            Frame(id=ids[i], image=np.asarray(frames[i], np.float32),
+            Frame(id=ids[i],
+                  image=np.asarray(frames[i], np.float32) / host_scale,
                   keypoints_xy=np.asarray(feats.keypoints.xy[i]),
                   keypoints_valid=np.asarray(feats.keypoints.valid[i]),
                   descriptors=np.asarray(feats.descriptors[i]),
@@ -345,8 +371,7 @@ class LoopClosingSystem:
         binary V times)."""
         cfg = config or PipelineConfig()
         v, b = videos.shape[:2]
-        flat = jnp.asarray(videos.reshape(v * b, *videos.shape[2:]),
-                           jnp.float32)
+        flat = _ship_frames(videos.reshape(v * b, *videos.shape[2:]))
         feats = orb.detect_and_describe_batch(flat, cfg.orb)
         n = cfg.orb.num_features
         signed = feats.signed.reshape(v, b, n, 256)

@@ -164,8 +164,23 @@ def _sfm_step(state: MapState, xy, norm, valid, signed, frame_idx, key,
 
     # --- essential-matrix RANSAC (main.cpp:1186) --------------------------
     focal = (K[0, 0] + K[1, 1]) * 0.5
+    # PROSAC quality = local motion-coherence support (descriptor distance
+    # is ANTI-correlated with correctness on repetitive texture — see
+    # matching.motion_support)
+    w_est = 2.0 * K[0, 2]
+    # pixel floors keep the statistic meaningful at small resolutions; the
+    # -dist tiebreak keeps ranks informative when support is flat
+    support = matching.motion_support(
+        xq, xt, m.mask, jnp.maximum(cfg.match.motion_radius_frac * w_est,
+                                    24.0),
+        jnp.maximum(cfg.match.motion_tau_frac * w_est, 8.0))
+    quality = (support.astype(jnp.float32)
+               - m.dist.astype(jnp.float32)
+               / (1.0 + jnp.max(jnp.where(m.mask, m.dist, 0)
+                                .astype(jnp.float32))))
     res = ransac_ops.estimate_essential_ransac(
-        last_norm[m.idx], norm, m.mask, key, focal, cfg.ransac)
+        last_norm[m.idx], norm, m.mask, key, focal, cfg.ransac,
+        quality=quality)
     # res.R, res.t: last-keyframe cam -> current cam (x2 = R x1 + t).
 
     inlier_ratio = res.num_inliers.astype(jnp.float32) / jnp.maximum(
@@ -178,33 +193,43 @@ def _sfm_step(state: MapState, xy, norm, valid, signed, frame_idx, key,
               & (inlier_ratio >= kcfg.min_inlier_ratio)
               & (state.kf_count < state.kp_xy.shape[0]))
 
-    new_state, tri = _extend_map(state, xy, norm, valid, signed, frame_idx,
-                                 res, m, K, cfg)
-    out = jax.tree.map(lambda a, b: jnp.where(accept, b, a), state, new_state)
+    # accept is threaded INTO the map extension: every write is a gated
+    # scatter (trash-slot redirect) or a conditional single-row set, so a
+    # rejected frame costs no HBM traffic over the fixed-capacity arrays.
+    # (A tree-level jnp.where(accept, new, old) select here measured ~1 s
+    # per scan step at SIFT-4000 capacities — it rewrites the entire
+    # 400 MB MapState each frame.)
+    out, tri = _extend_map(state, xy, norm, valid, signed, frame_idx,
+                           res, m, K, cfg, accept)
+    # counters are zero for rejected frames by construction: _extend_map's
+    # gated masks make every count delta 0 when accept is False
     info = StepInfo(
         accepted=accept, num_matches=m.count, median_disp=med,
         num_inliers=res.num_inliers,
-        n_triangulated=jnp.where(accept, new_state.point_count
-                                 - state.point_count, 0),
-        n_merged=jnp.where(
-            accept,
-            new_state.obs_count - state.obs_count
-            - 2 * (new_state.point_count - state.point_count), 0),
-        n_rej_parallax=jnp.where(accept, tri.n_parallax, 0),
-        n_rej_reproj=jnp.where(accept, tri.n_reproj, 0),
+        n_triangulated=out.point_count - state.point_count,
+        n_merged=(out.obs_count - state.obs_count
+                  - 2 * (out.point_count - state.point_count)),
+        n_rej_parallax=tri.n_parallax,
+        n_rej_reproj=tri.n_reproj,
         # the reference counts cheirality failures as depth rejections
         # (main.cpp:1283-1295)
-        n_rej_depth=jnp.where(accept, tri.n_behind + tri.n_depth, 0))
+        n_rej_depth=tri.n_behind + tri.n_depth)
     return out, info
 
 
 def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
                 res: ransac_ops.EssentialResult, m: matching.Matches,
-                K: jax.Array, cfg: PipelineConfig):
+                K: jax.Array, cfg: PipelineConfig,
+                accept: jax.Array | bool = True):
     """Chain the pose, triangulate gated inliers, merge into the map via the
     track table (main.cpp:1216-1341). Returns (new MapState,
     TriangulationResult) — the triangulation counters feed the reference's
-    printed rejection line (main.cpp:1343-1346)."""
+    printed rejection line (main.cpp:1343-1346).
+
+    ``accept`` (traced bool) gates EVERY state mutation: scatters redirect
+    to the trash slots and row writes keep the existing row, so rejection
+    returns a value-identical state without copying the capacity arrays."""
+    accept = jnp.asarray(accept)
     last = state.kf_count - 1
     new_kf = state.kf_count
     R_last, t_last = lie.params_to_pose(state.poses[last])
@@ -218,7 +243,7 @@ def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
     x2 = norm               # current frame
     uv1 = last_xy[m.idx]
     uv2 = xy
-    pair_mask = m.mask & res.inliers
+    pair_mask = m.mask & res.inliers & accept
 
     tri = triangulation.triangulate_gated(
         K, R_last, t_last, R_new, t_new, x1, x2, uv1, uv2, pair_mask,
@@ -309,17 +334,24 @@ def _extend_map(state: MapState, xy, norm, valid, signed, frame_idx,
     point_valid = point_valid.at[p_cap].set(False)
     obs_valid = obs_valid.at[o_cap].set(False)
 
+    def row(arr, idx, val):
+        """Conditional single-row write: touch one row, not the array."""
+        old_row = arr[idx]
+        sel = jnp.where(jnp.reshape(accept, (1,) * old_row.ndim), val,
+                        old_row) if old_row.ndim else jnp.where(
+                            accept, val, old_row)
+        return arr.at[idx].set(sel)
+
     return state._replace(
-        kf_count=state.kf_count + 1,
-        kf_frame=state.kf_frame.at[new_kf].set(frame_idx),
-        poses=state.poses.at[new_kf].set(new_pose),
-        kp_xy=state.kp_xy.at[new_kf].set(xy),
-        kp_norm=state.kp_norm.at[new_kf].set(norm),
-        kp_valid=state.kp_valid.at[new_kf].set(valid),
-        signed=state.signed.at[new_kf].set(signed),
-        kp_to_point=(state.kp_to_point
-                     .at[last].set(track_last_new)
-                     .at[new_kf].set(track_new)),
+        kf_count=state.kf_count + accept.astype(jnp.int32),
+        kf_frame=row(state.kf_frame, new_kf, frame_idx),
+        poses=row(state.poses, new_kf, new_pose),
+        kp_xy=row(state.kp_xy, new_kf, xy),
+        kp_norm=row(state.kp_norm, new_kf, norm),
+        kp_valid=row(state.kp_valid, new_kf, valid),
+        signed=row(state.signed, new_kf, signed),
+        kp_to_point=row(row(state.kp_to_point, last, track_last_new),
+                        new_kf, jnp.where(accept, track_new, -1)),
         points=points, point_valid=point_valid, point_count=point_count,
         obs_cam=obs_cam, obs_point=obs_point, obs_uv=obs_uv,
         obs_valid=obs_valid, obs_count=obs_count), tri
@@ -364,14 +396,23 @@ def _pair_ratio_counts(signed, kp_valid, pair_q, pair_t, ratio=0.7, chunk=4,
 
 @functools.partial(jax.jit, static_argnames=("ratio", "detector", "cfg"))
 def _verify_loop_candidates(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
-                            focal, ratio, detector, cfg):
+                            focal, radius, tau, ratio, detector, cfg):
     """Match + batched essential-RANSAC for a fixed set of candidate
     keyframe pairs, vmapped — one device program verifies all candidates."""
     def one(qi, ti, key):
         m = _match_descriptors(signed[qi], kp_valid[qi], signed[ti],
                                kp_valid[ti], ratio, detector)
+        # PROSAC quality = motion-coherence support in normalized coords
+        # (radius/tau passed pre-divided by focal) with a -dist tiebreak
+        support = matching.motion_support(
+            kp_norm[qi], kp_norm[ti][m.idx], m.mask, radius, tau)
+        quality = (support.astype(jnp.float32)
+                   - m.dist.astype(jnp.float32)
+                   / (1.0 + jnp.max(jnp.where(m.mask, m.dist, 0)
+                                    .astype(jnp.float32))))
         res = ransac_ops.estimate_essential_ransac(
-            kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg)
+            kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg,
+            quality=quality)
         return m.count, m.idx, m.mask, res
 
     return jax.vmap(one)(cand_q, cand_t, keys)
@@ -379,7 +420,7 @@ def _verify_loop_candidates(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
 
 @functools.partial(jax.jit, static_argnames=("ratio", "detector", "cfg"))
 def _verify_loop_scores(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
-                        focal, ratio, detector, cfg):
+                        focal, radius, tau, ratio, detector, cfg):
     """Scoring-only variant of :func:`_verify_loop_candidates`: returns just
     the [C, 3] (match count, inlier count, pose-inlier count) table so the
     host selection loop reads back a few hundred bytes per chunk instead of
@@ -389,8 +430,17 @@ def _verify_loop_scores(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
     def one(qi, ti, key):
         m = _match_descriptors(signed[qi], kp_valid[qi], signed[ti],
                                kp_valid[ti], ratio, detector)
+        # PROSAC quality = motion-coherence support in normalized coords
+        # (radius/tau passed pre-divided by focal) with a -dist tiebreak
+        support = matching.motion_support(
+            kp_norm[qi], kp_norm[ti][m.idx], m.mask, radius, tau)
+        quality = (support.astype(jnp.float32)
+                   - m.dist.astype(jnp.float32)
+                   / (1.0 + jnp.max(jnp.where(m.mask, m.dist, 0)
+                                    .astype(jnp.float32))))
         res = ransac_ops.estimate_essential_ransac(
-            kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg)
+            kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg,
+            quality=quality)
         return jnp.stack([m.count, res.num_inliers, res.num_pose_inliers])
 
     # chunked vmap inside one program: all candidates scored in a single
@@ -462,7 +512,13 @@ class SfMPipeline:
         keypoint undistortion for every frame. Returns
         (descriptors [B, N, D], keypoint xy, valid, undistorted xy,
         normalized xy)."""
-        fr = jnp.asarray(frames, jnp.float32)
+        # ship uint8 when possible: the host->device tunnel runs at tens
+        # of MB/s, so a 96-frame 1080p float32 batch costs ~15 s in
+        # transfer alone (measured) — 4x less as uint8
+        if isinstance(frames, np.ndarray) and frames.dtype == np.uint8:
+            fr = jnp.asarray(frames).astype(jnp.float32) / 255.0
+        else:
+            fr = jnp.asarray(frames, jnp.float32)
         if self.config.detector == "sift":
             from slam_loop_closing_tpu.ops import sift as sift_ops
 
@@ -601,9 +657,14 @@ class SfMPipeline:
         ct = jnp.asarray([pairs[i][1] for i in padded], jnp.int32)
         keys = jax.random.split(jax.random.PRNGKey(7), cb)
         focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
+        # motion-support radii in normalized units (pixel fracs / focal)
+        w_est = 2.0 * float(self.K[0, 2])
+        radius = max(self.config.match.motion_radius_frac * w_est,
+                     24.0) / focal
+        tau = max(self.config.match.motion_tau_frac * w_est, 8.0) / focal
         scores = np.asarray(_verify_loop_scores(
             state.signed, state.kp_valid, state.kp_norm, cq, ct, keys,
-            focal, self.config.match.loop_ratio_threshold,
+            focal, radius, tau, self.config.match.loop_ratio_threshold,
             self.config.detector, self.config.ransac))[:c_real]
 
         best = LoopResult(found=False)
@@ -625,7 +686,8 @@ class SfMPipeline:
             k1 = keys[best_row][None]
             mcounts, midx, mmask, res = _verify_loop_candidates(
                 state.signed, state.kp_valid, state.kp_norm, cq1, ct1, k1,
-                focal, self.config.match.loop_ratio_threshold,
+                focal, radius, tau,
+                self.config.match.loop_ratio_threshold,
                 self.config.detector, self.config.ransac)
             mask = np.asarray(res.pose_inliers[0])
             q_idx = np.arange(midx.shape[1])

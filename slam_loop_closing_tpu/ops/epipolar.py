@@ -115,14 +115,18 @@ def essential_eight_point(x1: jax.Array, x2: jax.Array,
 
     ``x1``, ``x2``: [N, 2] normalized coords with the epipolar constraint
     ``x2h^T E x1h = 0``; ``weights``: [N] (0/1 mask for a minimal sample, or
-    inlier weights for a refit). Solves ``min ||W A e||`` via the smallest
-    right singular vector of ``W A`` — a direct SVD rather than an
-    eigendecomposition of ``A^T A``, which would square the condition number
-    and is too lossy in float32. Then projects onto the essential manifold
-    (singular values -> (s, s, 0)).
+    inlier weights for a refit). Solves ``min ||W A e||`` by first QR-
+    reducing the tall design (``min ||Av|| = min ||Rv||`` since Q is
+    orthogonal) and taking the smallest right singular vector of the 9x9
+    R — numerically identical to the SVD of A (NO A^T A conditioning
+    squaring, unlike the ``_fast`` variant below) at a fraction of the
+    cost: the [N, 9] SVD was a dominant LO-RANSAC refit cost at N = 4000.
+    Then projects onto the essential manifold (singular values ->
+    (s, s, 0)).
     """
     Aw = epipolar_design(x1, x2) * weights[:, None]
-    _, _, Vt9 = jnp.linalg.svd(Aw, full_matrices=True)
+    R = jnp.linalg.qr(Aw, mode="r")                  # [9, 9]
+    _, _, Vt9 = jnp.linalg.svd(R, full_matrices=True)
     e = Vt9[-1]  # right singular vector of the smallest singular value
     return project_to_essential(e.reshape(3, 3))
 

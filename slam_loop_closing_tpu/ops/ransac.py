@@ -52,12 +52,41 @@ class EssentialResult(NamedTuple):
 
 
 def _sample_minimal_sets(key: jax.Array, mask: jax.Array, num_hypotheses: int,
-                         sample_size: int) -> jax.Array:
-    """[H, sample_size] distinct valid indices per hypothesis via Gumbel top-k."""
+                         sample_size: int,
+                         quality: jax.Array | None = None) -> jax.Array:
+    """[H, sample_size] distinct valid indices per hypothesis via Gumbel top-k.
+
+    With ``quality`` (higher = more confident match), sampling is
+    PROSAC-style progressive (Chum & Matas 2005, recast for a fixed batch):
+    hypothesis h draws uniformly from the top ``m_h`` matches by quality,
+    where ``m_h`` grows geometrically from 4x the sample size to the full
+    valid count across the batch. Early hypotheses exploit the confident
+    matches (at a 0.3 inlier ratio overall, the top-ranked pool is typically
+    2-3x purer, turning a hopeless 512-sample budget into a reliable one);
+    late hypotheses recover plain RANSAC so the guarantee degrades to
+    uniform if quality is uncorrelated with correctness. Rank-based, so any
+    monotone quality (negative Hamming distance, negative L2) works."""
     n = mask.shape[0]
     g = jax.random.gumbel(key, (num_hypotheses, n), dtype=jnp.float32)
-    g = jnp.where(mask[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, sample_size)
+    if quality is None:
+        g = jnp.where(mask[None, :], g, -jnp.inf)
+    else:
+        q = jnp.where(mask, quality.astype(jnp.float32), -jnp.inf)
+        order = jnp.argsort(-q)
+        rank = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        nv = jnp.sum(mask.astype(jnp.int32)).astype(jnp.float32)
+        pool0 = jnp.float32(4 * sample_size)
+        frac = (jnp.arange(num_hypotheses, dtype=jnp.float32)[:, None]
+                / max(num_hypotheses - 1, 1))
+        pool = pool0 * (jnp.maximum(nv, pool0) / pool0) ** frac   # [H, 1]
+        allowed = (rank[None, :].astype(jnp.float32) < pool) & mask[None, :]
+        g = jnp.where(allowed, g, -jnp.inf)
+    # approx_max_k: the TPU-native top-k (exact top_k sorts each of the H
+    # rows — measured as a dominant RANSAC cost at N=4000). For gumbel
+    # SAMPLING approximate selection changes nothing: any k distinct
+    # high-noise entries are an equally valid random sample.
+    _, idx = jax.lax.approx_max_k(g, sample_size, recall_target=0.95)
     return idx
 
 
@@ -68,6 +97,7 @@ def estimate_essential_ransac(
     key: jax.Array,
     focal: jax.Array | float,
     cfg: RansacConfig = RansacConfig(),
+    quality: jax.Array | None = None,
 ) -> EssentialResult:
     """Batched-RANSAC essential matrix between two normalized point sets.
 
@@ -78,12 +108,17 @@ def estimate_essential_ransac(
       focal:  mean focal length in pixels — converts ``cfg.threshold_px``
               into normalized units, matching OpenCV's internal scaling.
       cfg:    static config (hypothesis budget, gates).
+      quality: optional [N] match confidence (higher = better, e.g. negative
+              descriptor distance) enabling PROSAC-style progressive
+              sampling — essential when the inlier ratio is low (see
+              :func:`_sample_minimal_sets`).
     """
     n = x1.shape[0]
     num_valid = jnp.sum(mask.astype(jnp.int32))
     thresh_sq = (cfg.threshold_px / focal) ** 2
 
-    idx = _sample_minimal_sets(key, mask, cfg.num_hypotheses, cfg.min_points)
+    idx = _sample_minimal_sets(key, mask, cfg.num_hypotheses, cfg.min_points,
+                               quality)
     p1 = x1[idx]  # [H, 8, 2]
     p2 = x2[idx]
     # Minimal-sample models: exact nullspace of the [8, 9] design via
@@ -140,11 +175,18 @@ def estimate_essential_ransac(
 def estimate_essential_ransac_pairs(
     x1: jax.Array, x2: jax.Array, mask: jax.Array, keys: jax.Array,
     focal: jax.Array | float, cfg: RansacConfig = RansacConfig(),
+    quality: jax.Array | None = None,
 ) -> EssentialResult:
     """vmap of :func:`estimate_essential_ransac` over a leading pair axis —
     verification of all candidate loop pairs in parallel (the reference's
     sequential hot loop #2, main.cpp:1362-1421, flattened). Jitted at module
     level so repeat calls at one shape reuse the compiled program."""
+    if quality is None:
+        return jax.vmap(
+            lambda a, b, m, k: estimate_essential_ransac(a, b, m, k, focal,
+                                                         cfg)
+        )(x1, x2, mask, keys)
     return jax.vmap(
-        lambda a, b, m, k: estimate_essential_ransac(a, b, m, k, focal, cfg)
-    )(x1, x2, mask, keys)
+        lambda a, b, m, k, q: estimate_essential_ransac(a, b, m, k, focal,
+                                                        cfg, q)
+    )(x1, x2, mask, keys, quality)

@@ -130,15 +130,77 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
                 & (xs[None, :] >= border) & (xs[None, :] < w - border))
     resp = jnp.where(interior[None], resp, 0.0)
 
-    flat = resp.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, budget)
-    lvl = idx // (h * w)
-    rem = idx % (h * w)
-    y = (rem // w).astype(jnp.float32)
-    x = (rem % w).astype(jnp.float32)
+    if cfg.grid_cell > 0:
+        # One keypoint per spatial cell, max over scale: the top-K input
+        # shrinks (S+2)*cell^2-fold (a flat top-K over the 10M-element
+        # 1080p DoG stack costs ~ms; TPU top_k scales with n), and
+        # multi-scale duplicates of the same blob collapse to one.
+        cell = cfg.grid_cell
+        L = resp.shape[0]
+        ph, pw = (-h) % cell, (-w) % cell
+        rp = jnp.pad(resp, ((0, 0), (0, ph), (0, pw)))
+        hb, wb = (h + ph) // cell, (w + pw) // cell
+        cells = rp.reshape(L, hb, cell, wb, cell).transpose(1, 3, 0, 2, 4)
+        cells = cells.reshape(hb * wb, L * cell * cell)
+        cmax = jnp.max(cells, axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+        carg = jnp.min(jnp.where(cells == cmax[:, None], iota,
+                                 L * cell * cell), axis=1)
+        vals, sel = jax.lax.top_k(cmax, budget)
+        flat_in = carg[sel]
+        lvl = flat_in // (cell * cell)
+        rem = flat_in % (cell * cell)
+        cy = sel // wb
+        cx = sel % wb
+        y = (cy * cell + rem // cell).astype(jnp.float32)
+        x = (cx * cell + rem % cell).astype(jnp.float32)
+    else:
+        flat = resp.reshape(-1)
+        vals, idx = jax.lax.top_k(flat, budget)
+        lvl = idx // (h * w)
+        rem = idx % (h * w)
+        y = (rem // w).astype(jnp.float32)
+        x = (rem % w).astype(jnp.float32)
     valid = vals > 0.0
+
+    # Subpixel refinement: 3D quadratic fit of the DoG about the extremum
+    # (the cv::SIFT adjustLocalExtrema step). Integer-pixel keypoints carry
+    # +-0.5 px of correspondence noise, which at OpenCV's 1.0 px RANSAC
+    # threshold costs a large fraction of true inliers; the quadratic
+    # offset recovers ~subpixel localization. Offsets are clamped to
+    # +-0.5 (cv iterates and re-centers; one clamped step captures most of
+    # the correction with static shapes).
+    lc = jnp.clip(lvl, 1, dog.shape[0] - 2)
+    yi = jnp.clip(y.astype(jnp.int32), 1, h - 2)
+    xi = jnp.clip(x.astype(jnp.int32), 1, w - 2)
+
+    def refine(l, yy, xx):
+        c = jax.lax.dynamic_slice(dog, (l - 1, yy - 1, xx - 1), (3, 3, 3))
+        gx = 0.5 * (c[1, 1, 2] - c[1, 1, 0])
+        gy = 0.5 * (c[1, 2, 1] - c[1, 0, 1])
+        gs = 0.5 * (c[2, 1, 1] - c[0, 1, 1])
+        dxx = c[1, 1, 2] - 2 * c[1, 1, 1] + c[1, 1, 0]
+        dyy = c[1, 2, 1] - 2 * c[1, 1, 1] + c[1, 0, 1]
+        dss = c[2, 1, 1] - 2 * c[1, 1, 1] + c[0, 1, 1]
+        dxy = 0.25 * (c[1, 2, 2] - c[1, 2, 0] - c[1, 0, 2] + c[1, 0, 0])
+        dxs = 0.25 * (c[2, 1, 2] - c[2, 1, 0] - c[0, 1, 2] + c[0, 1, 0])
+        dys = 0.25 * (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1])
+        hm = jnp.array([[dxx, dxy, dxs],
+                        [dxy, dyy, dys],
+                        [dxs, dys, dss]]) + 1e-8 * jnp.eye(3)
+        g = jnp.array([gx, gy, gs])
+        off = -jnp.linalg.solve(hm, g[:, None])[:, 0]
+        off = jnp.where(jnp.isfinite(off), off, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    offs = jax.vmap(refine)(lc, yi, xi)                    # [K, 3] dx,dy,ds
+    x = x + jnp.where(valid, offs[:, 0], 0.0)
+    y = y + jnp.where(valid, offs[:, 1], 0.0)
     k = 2.0 ** (1.0 / s)
-    sigma = cfg.sigma0 * (k ** lvl.astype(jnp.float32)) * (2.0 ** octave)
+    sigma = (cfg.sigma0
+             * (k ** (lvl.astype(jnp.float32)
+                      + jnp.where(valid, offs[:, 2], 0.0)))
+             * (2.0 ** octave))
     xy0 = jnp.stack([x, y], -1) * (2.0 ** octave)
     # gradient maps of the middle Gaussian level (descriptor source)
     g = gauss[s // 2 + 1]
@@ -148,59 +210,117 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
     return xy0, sigma, vals, valid, mag, ang, jnp.stack([x, y], -1)
 
 
+PATCH = 40  # descriptor sample radius <= 7.5*sqrt(2)*scale + 1 ~ 18 px at
+#             the largest interior sigma; the 40-px patch (center ~19,19)
+#             covers it, so patch-local sampling is value-identical to
+#             image-wide sampling (image-border clamping included).
+
+
+def _extract_grad_patches(mag: jax.Array, ang: jax.Array, xy: jax.Array,
+                          patch: int = PATCH):
+    """One contiguous dynamic-slice per keypoint from the magnitude AND
+    angle maps ([K, patch, patch] each) + the keypoint's position inside its
+    patch. Same keystone as orb.extract_patches: after this, the ~550
+    bilinear samples per keypoint hit a 6 KB cache-local buffer instead of
+    the full 8 MB gradient map (image-wide gathers are the dominant SIFT
+    cost at 1080p)."""
+    h, w = mag.shape
+    pc = patch // 2 - 1
+
+    def one(pt):
+        xi = pt[0].astype(jnp.int32)
+        yi = pt[1].astype(jnp.int32)
+        x0 = jnp.clip(xi - pc, 0, w - patch)
+        y0 = jnp.clip(yi - pc, 0, h - patch)
+        pm = jax.lax.dynamic_slice(mag, (y0, x0), (patch, patch))
+        pa = jax.lax.dynamic_slice(ang, (y0, x0), (patch, patch))
+        ctr = jnp.stack([pt[0] - x0.astype(pt.dtype),
+                         pt[1] - y0.astype(pt.dtype)])
+        return pm, pa, ctr
+
+    return jax.vmap(one)(xy)
+
+
 def _orientation_and_descriptor(mag: jax.Array, ang: jax.Array,
                                 xy: jax.Array, sigma_oct: jax.Array,
                                 valid: jax.Array):
-    """Dominant orientation + 4x4x8 descriptor for each keypoint from the
-    octave's gradient maps ([K] vmapped)."""
-    def one(pt, sig, ok):
-        # --- orientation: 36-bin histogram over a round window -----------
-        r = 8  # fixed sample radius in grid units; scaled by sigma below
-        offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-        gy, gx_ = jnp.meshgrid(offs, offs, indexing="ij")
-        scale = jnp.maximum(sig, 1.0) * 0.5
-        pos = pt[None, None, :] + jnp.stack([gx_, gy], -1) * scale
-        m = image_ops.bilinear_sample(mag, pos)
-        a = image_ops.bilinear_sample(ang, pos)
-        wgt = jnp.exp(-(gx_ ** 2 + gy ** 2) / (2.0 * (r * 0.5) ** 2))
-        bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32)
-        bins = jnp.clip(bins, 0, 35)
-        hist = jnp.zeros(36).at[bins.ravel()].add((m * wgt).ravel())
-        # smooth the circular histogram
-        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-        theta = (jnp.argmax(hist).astype(jnp.float32) + 0.5) / 36.0 \
-            * 2 * jnp.pi - jnp.pi
+    """Dominant orientation + 4x4x8 descriptor for each keypoint — the
+    classic PER-PIXEL formulation (Lowe's original recipe, and what cv::SIFT
+    computes): iterate over the keypoint's patch pixels (STATIC positions),
+    rotate each pixel's offset into the descriptor frame arithmetically,
+    and soft-assign its gradient into the histograms. Zero gathers — every
+    quantity is an elementwise [K, P*P] array and the histograms are small
+    masked-reduction loops. The previous grid-sampling formulation needed
+    ~10M data-dependent gathers per frame (take_along_axis or vmapped
+    bilinear, both ~4 ns/element on TPU) and dominated the whole SIFT
+    front-end at 1080p (~190 of 280 ms/frame)."""
+    pm, pa, ctrs = _extract_grad_patches(mag, ang, xy)
+    k = pm.shape[0]
+    p = pm.shape[1]
+    pmf = pm.reshape(k, p * p)
+    paf = pa.reshape(k, p * p)
+    scale = jnp.maximum(sigma_oct, 1.0) * 0.5                # [K]
 
-        # --- descriptor: rotated 16x16 grid -> 4x4 cells x 8 bins --------
-        g16 = (jnp.arange(16, dtype=jnp.float32) - 7.5)
-        gy16, gx16 = jnp.meshgrid(g16, g16, indexing="ij")
-        c, s = jnp.cos(theta), jnp.sin(theta)
-        rx = c * gx16 - s * gy16
-        ry = s * gx16 + c * gy16
-        pos = pt[None, None, :] + jnp.stack([rx, ry], -1) * scale
-        m = image_ops.bilinear_sample(mag, pos)
-        a = image_ops.bilinear_sample(ang, pos) - theta
-        wgt = jnp.exp(-(gx16 ** 2 + gy16 ** 2) / (2.0 * 8.0 ** 2))
-        mw = m * wgt
-        # soft orientation binning (linear split between 2 adjacent bins)
-        af = (a + jnp.pi) / (2 * jnp.pi) * 8.0
-        b0 = jnp.floor(af).astype(jnp.int32) % 8
-        b1 = (b0 + 1) % 8
-        f = af - jnp.floor(af)
-        cell_y = jnp.clip(jnp.floor((gy16 + 8.0) / 4.0), 0, 3).astype(jnp.int32)
-        cell_x = jnp.clip(jnp.floor((gx16 + 8.0) / 4.0), 0, 3).astype(jnp.int32)
-        cell = cell_y * 4 + cell_x
-        desc = jnp.zeros(128)
-        desc = desc.at[(cell * 8 + b0).ravel()].add((mw * (1 - f)).ravel())
-        desc = desc.at[(cell * 8 + b1).ravel()].add((mw * f).ravel())
-        # normalize, clip, renormalize (illumination invariance)
-        desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
-        desc = jnp.minimum(desc, 0.2)
-        desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-8)
-        z = jnp.zeros(128)
-        return jnp.where(ok, theta, 0.0), jnp.where(ok, desc, z)
+    # static patch pixel offsets relative to each keypoint's position
+    pix = jnp.arange(p, dtype=jnp.float32)
+    py_, px_ = jnp.meshgrid(pix, pix, indexing="ij")
+    pxf = px_.ravel()[None]                                  # [1, P*P]
+    pyf = py_.ravel()[None]
+    du = pxf - ctrs[:, 0:1]                                  # [K, P*P]
+    dv = pyf - ctrs[:, 1:2]
+    inv_s = 1.0 / scale[:, None]
+    # pixel offset in descriptor-grid units (before rotation)
+    gu = du * inv_s
+    gv = dv * inv_s
 
-    return jax.vmap(one)(xy, sigma_oct, valid)
+    # --- orientation: 36-bin histogram over a round window ---------------
+    r = 8.0
+    wgt_o = jnp.exp(-(gu ** 2 + gv ** 2) / (2.0 * (r * 0.5) ** 2))
+    in_o = (jnp.abs(gu) <= r) & (jnp.abs(gv) <= r)
+    mw = jnp.where(in_o, pmf * wgt_o, 0.0)
+    bins = jnp.clip(jnp.floor((paf + jnp.pi) / (2 * jnp.pi) * 36)
+                    .astype(jnp.int32), 0, 35)
+    hist = jnp.stack([jnp.sum(jnp.where(bins == b, mw, 0.0), axis=1)
+                      for b in range(36)], axis=1)           # [K, 36]
+    hist = (jnp.roll(hist, 1, axis=1) + hist
+            + jnp.roll(hist, -1, axis=1)) / 3.0
+    theta = ((jnp.argmax(hist, axis=1).astype(jnp.float32) + 0.5) / 36.0
+             * 2 * jnp.pi - jnp.pi)                          # [K]
+
+    # --- descriptor: rotate pixels into the oriented frame ---------------
+    c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+    u = c * gu + s * gv                                      # [K, P*P]
+    v = -s * gu + c * gv
+    wgt_d = jnp.exp(-(u ** 2 + v ** 2) / (2.0 * 8.0 ** 2))
+    in_d = (jnp.abs(u) < 10.0) & (jnp.abs(v) < 10.0)
+    mwd = jnp.where(in_d, pmf * wgt_d, 0.0)
+    # cell coordinates: centers at 0..3 in each axis
+    cu = u / 4.0 + 1.5
+    cv = v / 4.0 + 1.5
+    af = (paf - theta[:, None] + jnp.pi) / (2 * jnp.pi) * 8.0
+    af = jnp.mod(af, 8.0)
+    # trilinear soft assignment: tent weights over (cell_x, cell_y, bin)
+    cells = jnp.arange(4, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(cu[:, :, None] - cells))  # [K,PP,4]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(cv[:, :, None] - cells))
+    parts = []
+    for b in range(8):
+        d = jnp.abs(af - b)
+        wb = jnp.maximum(0.0, 1.0 - jnp.minimum(d, 8.0 - d))  # [K, P*P]
+        mb = mwd * wb
+        # [K, 4cy, 4cx] = sum over pixels of mb * wy * wx
+        cell_kij = jnp.einsum("kp,kpi,kpj->kij", mb, wy, wx)
+        parts.append(cell_kij)
+    desc = jnp.stack(parts, axis=-1).reshape(k, 128)   # [K, cy*cx*8] layout
+    # normalize, clip, renormalize (illumination invariance)
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-8)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-8)
+    theta = jnp.where(valid, theta, 0.0)
+    desc = jnp.where(valid[:, None], desc, 0.0)
+    return theta, desc
 
 
 def _level_budgets(total: int, num_octaves: int) -> list[int]:
@@ -242,6 +362,18 @@ def detect_and_describe(img: jax.Array,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect_and_describe_batch(imgs: jax.Array,
                               cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
-    """Module-level jit so repeat calls at one shape reuse the cache instead
-    of re-tracing the whole pyramid."""
-    return jax.vmap(lambda im: detect_and_describe(im, cfg))(imgs)
+    """Batched SIFT in ``cfg.batch_chunk``-frame chunks via ``lax.map``:
+    the chunking bounds the transient Gaussian/DoG stacks to
+    [chunk, S+2, H, W] (a flat 96-frame vmap at 1080p needs ~15 GB of HBM
+    temps and fails to fit). Module-level jit so repeat calls at one shape
+    reuse the cache instead of re-tracing the whole pyramid."""
+    b = imgs.shape[0]
+    c = max(1, min(cfg.batch_chunk, b))
+    pad = (-b) % c
+    if pad:
+        imgs = jnp.concatenate(
+            [imgs, jnp.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+    out = jax.lax.map(
+        lambda ch: jax.vmap(lambda im: detect_and_describe(im, cfg))(ch),
+        imgs.reshape(-1, c, *imgs.shape[1:]))
+    return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:b], out)
