@@ -166,20 +166,30 @@ def block_pair_counts(signed_q: jax.Array, valid_q: jax.Array,
     peak usage via the target block size.
     """
     ft, n, d = signed_t.shape
-    tflat = signed_t.reshape(ft * n, d)
+    # All-bf16 inner pipeline. Every value is a small integer — +-1/0
+    # operands, dots in [-256, 256] with the same parity as BITS, Hamming
+    # distances <= 256, thresholds <= 512 (even) — all exactly
+    # representable in bf16's 8-bit mantissa. bf16 keeps the matmul on the
+    # MXU (the int8 dot_general lowers off it on this platform) and halves
+    # the HBM traffic of the distance-block reduction passes, which bound
+    # this kernel at KITTI scale.
+    tflat = signed_t.reshape(ft * n, d).astype(jnp.bfloat16)
     vflat = valid_t.reshape(ft * n)
+    big = jnp.bfloat16(512.0)
 
     def one_query(args):
         sq, vq = args
         dots = jax.lax.dot_general(
-            sq, tflat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)       # [N, Ft*N]
-        dist = (BITS - dots) >> 1
-        dist = jnp.where(vflat[None, :], dist, BIG)
+            sq.astype(jnp.bfloat16), tflat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.bfloat16)     # [N, Ft*N], exact
+        dist = (jnp.bfloat16(BITS) - dots) * jnp.bfloat16(0.5)
+        dist = jnp.where(vflat[None, :], dist, big)
         d1 = jnp.min(dist.reshape(n, ft, n), axis=2)  # [N, Ft]
-        row_ok = vq[:, None] & (d1 < BIG // 2)
-        dmin = jnp.min(jnp.where(row_ok, d1, BIG), axis=0)     # [Ft]
-        thr = jnp.maximum((dmin * scale).astype(d1.dtype), 30)
+        row_ok = vq[:, None] & (d1 < jnp.bfloat16(BITS + 1))
+        dmin = jnp.min(jnp.where(row_ok, d1, big), axis=0)     # [Ft]
+        thr = jnp.maximum(dmin * jnp.bfloat16(scale), jnp.bfloat16(30.0))
         return jnp.sum((row_ok & (d1 < thr[None, :])).astype(jnp.int32),
                        axis=0)                       # [Ft]
 
@@ -247,6 +257,58 @@ def banded_pair_counts(signed: jax.Array, valid: jax.Array, min_gap: int,
     q = jnp.arange(f)[:, None]
     t = jnp.arange(f)[None, :]
     return jnp.where(t <= q - min_gap, counts, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _band_tiles_kernel(sblocks, vblocks, qidx, tidx, scale):
+    """[T] tile indices -> [T, block, block] good-match counts (one
+    sequential lax.map dispatch; T is the caller's per-dispatch budget)."""
+    def per(args):
+        qb, tb = args
+        return block_pair_counts(sblocks[qb], vblocks[qb],
+                                 sblocks[tb], vblocks[tb], scale)
+
+    return jax.lax.map(per, (qidx, tidx))
+
+
+def banded_pair_counts_chunked(signed, valid, min_gap: int,
+                               scale: float = 2.0, block: int = 64,
+                               tiles_per_call: int = 256) -> "np.ndarray":
+    """Sequence-scale variant of :func:`banded_pair_counts`: the band's
+    block tiles are evaluated ``tiles_per_call`` at a time, one device
+    dispatch each, with results assembled on the host. A single program
+    holding ALL tiles of a 4541-frame KITTI band (~2.5k tiles x 64
+    sequential queries each) runs long enough to trip the device watchdog —
+    chunking keeps each program bounded while the per-dispatch round trip
+    amortizes over 256 tiles. Returns the [F, F] numpy count matrix with
+    out-of-band entries zeroed."""
+    import numpy as np
+
+    f, n, d = signed.shape
+    pad = (-f) % block
+    sp = jnp.pad(signed, ((0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(valid, ((0, pad), (0, 0)))
+    nb = (f + pad) // block
+    sblocks = jnp.asarray(sp.reshape(nb, block, n, d))
+    vblocks = jnp.asarray(vp.reshape(nb, block, n))
+
+    bpairs = [(qb, tb) for qb in range(nb) for tb in range(nb)
+              if tb * block <= qb * block + block - 1 - min_gap]
+    out = np.zeros((f, f), np.int32)
+    for s in range(0, len(bpairs), tiles_per_call):
+        chunk = bpairs[s:s + tiles_per_call]
+        padded = chunk + [chunk[0]] * (tiles_per_call - len(chunk))
+        qidx = jnp.asarray([c[0] for c in padded], jnp.int32)
+        tidx = jnp.asarray([c[1] for c in padded], jnp.int32)
+        tiles = np.asarray(_band_tiles_kernel(sblocks, vblocks, qidx, tidx,
+                                              scale))
+        for (qb, tb), tile in zip(chunk, tiles):
+            q0, t0 = qb * block, tb * block
+            q1, t1 = min(q0 + block, f), min(t0 + block, f)
+            out[q0:q1, t0:t1] = tile[: q1 - q0, : t1 - t0]
+    q = np.arange(f)[:, None]
+    t = np.arange(f)[None, :]
+    return np.where(t <= q - min_gap, out, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "chunk"))
