@@ -1,11 +1,19 @@
 """KITTI odometry seq-00 loop-detection benchmark (BASELINE.json configs[4]):
 4541 frames through the ORB front-end + banded all-pairs similarity + batched
-RANSAC verification of the top candidates.
+RANSAC verification of the top candidates — the path that replaces the
+reference's O(K^2) sequential loop search (main.cpp:1362-1421) at 45x the
+reference's frame count.
 
 The dataset is not bundled: pass --kitti-root (see utils/kitti.py for the
-expected layout). Without it, the script falls back to a synthetic sequence
-of the same LENGTH so the scaling path (block-banded similarity over ~10M
-frame pairs) is still exercised end to end.
+expected layout). Without it, the script falls back to a synthetic orbit of
+the same LENGTH so the scaling path (block-banded similarity over ~10M frame
+pairs + the verification fan-out) is still exercised end to end; the orbit's
+exact closure (frames i, j with i - j ~ F) provides ground truth for the
+recall report. With --kitti-root and a poses file, recall is measured
+against kitti.gt_loop_pairs instead.
+
+Stage timings use forced host readbacks (block_until_ready does not reliably
+synchronize on this runtime — docs/PERFORMANCE.md "Profiling method").
 """
 
 from __future__ import annotations
@@ -31,12 +39,17 @@ def main(argv=None):
     ap.add_argument("--min-gap", type=int, default=100)
     ap.add_argument("--batch", type=int, default=64,
                     help="front-end frame batch per device step")
+    ap.add_argument("--verify-top", type=int, default=64,
+                    help="candidates fed to batched RANSAC verification")
+    ap.add_argument("--recall-tol", type=int, default=10,
+                    help="frame tolerance for the recall report")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from slam_loop_closing_tpu.config import OrbConfig
+    from slam_loop_closing_tpu.config import OrbConfig, RansacConfig
+    from slam_loop_closing_tpu.models.sfm import _verify_loop_scores
     from slam_loop_closing_tpu.ops import matching, orb
     from slam_loop_closing_tpu.utils import kitti
     from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
@@ -45,6 +58,7 @@ def main(argv=None):
     # per 8x8 cell — OpenCV-ORB-style spreading)
     cfg = OrbConfig(num_features=args.num_features, grid_cell=8)
     t_load0 = time.perf_counter()
+    gt_pairs: list[tuple[int, int]] = []
     if args.kitti_root and kitti.available(args.kitti_root, args.seq):
         from slam_loop_closing_tpu.utils import native
 
@@ -52,11 +66,24 @@ def main(argv=None):
         frames = native.load_frames_gray_native(paths, args.height,
                                                 args.width)
         source = f"kitti-{args.seq}"
+        K = kitti.load_intrinsics(args.kitti_root, args.seq)
+        gt = kitti.load_gt_poses(args.kitti_root, args.seq)
+        if gt is not None:
+            gt_pairs = kitti.gt_loop_pairs(gt[: args.frames],
+                                           min_gap=args.min_gap)
     else:
-        # synthetic stand-in with the same frame count and resolution
+        # synthetic stand-in with the same frame count and resolution; the
+        # orbit's exact closure gives ground-truth loop pairs at i - j ~ F
         frames = orbit_sequence(num_frames=args.frames, h=args.height,
                                 w=args.width, num_points=400)
         source = "synthetic"
+        f_px = 0.8 * args.width
+        K = np.array([[f_px, 0, args.width / 2],
+                      [0, f_px, args.height / 2], [0, 0, 1.0]])
+        wdw = max(2, args.frames // 100)
+        gt_pairs = [(i, j) for i in range(args.frames - wdw, args.frames)
+                    for j in range(0, i - args.frames + wdw + 1)
+                    if i - j >= args.min_gap]
     t_load = time.perf_counter() - t_load0
     b = frames.shape[0]
     print(f"# {source}: {b} frames {frames.shape[1]}x{frames.shape[2]} "
@@ -73,7 +100,7 @@ def main(argv=None):
     # second pass over the now-resident chunks isolates pure device compute
     # (the tunnel runs at single-digit MB/s — an environment property, not
     # a design one — so both numbers are reported).
-    dev_chunks, s_chunks, v_chunks = [], [], []
+    dev_chunks, s_chunks, v_chunks, xy_chunks = [], [], [], []
     t0 = time.perf_counter()
     for s in range(0, b, args.batch):
         e = min(s + args.batch, b)
@@ -85,8 +112,10 @@ def main(argv=None):
         dev_chunks.append(dev)
         s_chunks.append(feats.signed[: e - s])
         v_chunks.append(feats.keypoints.valid[: e - s])
+        xy_chunks.append(feats.keypoints.xy[: e - s])
     signed = jnp.concatenate(s_chunks)
     valid = jnp.concatenate(v_chunks)
+    xy = jnp.concatenate(xy_chunks)
     np.asarray(valid[:1])  # sync
     t_frontend = time.perf_counter() - t0
 
@@ -105,8 +134,47 @@ def main(argv=None):
         signed, valid, args.min_gap, block=64)
     t_pairs = time.perf_counter() - t0
 
+    # Version-A detection rule over the band -> predicted loop pairs
+    nfeat = np.asarray(jnp.sum(valid, axis=1)).astype(np.int64)
+    denom = np.maximum(np.minimum(nfeat[:, None], nfeat[None, :]), 1)
+    sims = cnp / denom
+    pred_mask = (sims > 0.15) & (cnp >= 50)
+    pred_pairs = list(zip(*np.nonzero(pred_mask)))
+
+    # Batched RANSAC verification of the top candidates (the reference's
+    # findEssentialMat verify, main.cpp:1395-1418, fanned out as one
+    # chunk-vmapped device program via models/sfm._verify_loop_scores).
+    qi, ti = np.nonzero(cnp > 0)
+    order = np.argsort(-cnp[qi, ti])[: args.verify_top]
+    verified = []
+    t_verify = 0.0
+    if order.size:
+        t0 = time.perf_counter()
+        fx, fy = float(K[0, 0]), float(K[1, 1])
+        cx, cy = float(K[0, 2]), float(K[1, 2])
+        norm = (xy - jnp.asarray([cx, cy], jnp.float32)) / jnp.asarray(
+            [fx, fy], jnp.float32)
+        cq = jnp.asarray(qi[order], jnp.int32)
+        ct = jnp.asarray(ti[order], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(11), int(order.size))
+        focal = 0.5 * (fx + fy)
+        radius = max(0.26 * cx * 2.0, 24.0) / focal
+        tau = max(0.032 * cx, 8.0) / focal
+        scores = np.asarray(_verify_loop_scores(
+            signed, valid, norm, cq, ct, keys, focal, radius, tau,
+            0.7, "orb", RansacConfig()))
+        t_verify = time.perf_counter() - t0
+        for row in range(int(order.size)):
+            mcount, ninl, npos = (int(v) for v in scores[row])
+            if ninl >= 25 and npos >= 15:
+                verified.append((int(cq[row]), int(ct[row]), ninl))
+
+    recall = kitti.loop_recall(pred_pairs, gt_pairs, tol=args.recall_tol)
+    recall_verified = kitti.loop_recall(
+        [(q, t) for q, t, _ in verified], gt_pairs, tol=args.recall_tol)
+
     n_band_pairs = sum(max(0, i - args.min_gap + 1) for i in range(b))
-    total = t_frontend + t_pairs
+    total = t_frontend + t_pairs + t_verify
     print(json.dumps({
         "metric": f"kitti_seq{args.seq}_loop_detection",
         "value": round(b / total, 2),
@@ -116,10 +184,16 @@ def main(argv=None):
         "frontend_s": round(t_frontend, 2),
         "frontend_compute_s": round(t_fe_compute, 2),
         "all_pairs_s": round(t_pairs, 2),
-        "compute_fps": round(b / (t_fe_compute + t_pairs), 2),
+        "verify_s": round(t_verify, 2),
+        "compute_fps": round(b / (t_fe_compute + t_pairs + t_verify), 2),
         "banded_pairs": n_band_pairs,
         "pairs_per_sec": round(n_band_pairs / t_pairs, 0),
         "top_candidate": int(cnp.max()),
+        "predicted_loops": len(pred_pairs),
+        "verified_loops": len(verified),
+        "gt_pairs": len(gt_pairs),
+        "recall": round(recall, 4),
+        "recall_verified": round(recall_verified, 4),
     }))
 
 

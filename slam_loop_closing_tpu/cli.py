@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -50,6 +49,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="ORB feature budget (README default 2000)")
         sp.add_argument("--resize", type=float, default=None,
                         help="downscale factor, e.g. 0.5 (README speed tip)")
+        sp.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace (TensorBoard "
+                             "format) of the run into DIR")
 
     sp = sub.add_parser("extract", help="video -> frame_%%04d.png")
     sp.add_argument("--video", required=True)
@@ -156,36 +158,43 @@ def cmd_extract(args) -> int:
 
 def cmd_loop(args) -> int:
     from slam_loop_closing_tpu.models.loop_closing import LoopClosingSystem
+    from slam_loop_closing_tpu.utils import profiling
 
     cfg = _load_config(args)
     frames = _resolve_frames(args, cfg)
     if frames.shape[0] > args.max_frames:
         frames = frames[: args.max_frames]
-    t0 = time.time()
-    sys_ = LoopClosingSystem(cfg, max_frames=max(args.max_frames,
-                                                frames.shape[0]))
-    ids = [i * cfg.loop.frame_skip for i in range(frames.shape[0])]
-    if args.batched:
-        sys_.process_video(frames, frame_ids=ids)
-    else:
-        for i in range(frames.shape[0]):
-            sys_.process_frame(frames[i], frame_id=ids[i])
-    dt = time.time() - t0
-    out = Path(args.output) if args.output else (
-        Path(args.data_dir) / "loop_closing_results")
-    txt = sys_.save_results(out)
+    timer = profiling.StageTimer()
+    with profiling.trace(getattr(args, "trace", None)):
+        with timer.stage("loop_detection"):
+            sys_ = LoopClosingSystem(cfg, max_frames=max(args.max_frames,
+                                                         frames.shape[0]))
+            ids = [i * cfg.loop.frame_skip for i in range(frames.shape[0])]
+            if args.batched:
+                sys_.process_video(frames, frame_ids=ids)
+            else:
+                for i in range(frames.shape[0]):
+                    sys_.process_frame(frames[i], frame_id=ids[i])
+        with timer.stage("save_results"):
+            out = Path(args.output) if args.output else (
+                Path(args.data_dir) / "loop_closing_results")
+            txt = sys_.save_results(out)
     n = len(sys_.get_loop_closures())
     # reference console block (README.md:150-153)
     print("\n=== Processing Complete ===")
     print(f"Total frames processed: {frames.shape[0]}")
     print(f"Loop closures detected: {n}")
-    print(f"Throughput: {frames.shape[0] / dt:.1f} frames/sec")
+    print(f"Throughput: "
+          f"{timer.frames_per_sec(frames.shape[0], 'loop_detection'):.1f} "
+          "frames/sec")
+    print(timer.summary())
     print(f"Results: {txt}")
     return 0
 
 
 def cmd_reconstruct(args) -> int:
     from slam_loop_closing_tpu.models.sfm import SfMPipeline
+    from slam_loop_closing_tpu.utils import profiling
 
     cfg = _load_config(args)
     if getattr(args, "detector", None):
@@ -193,9 +202,15 @@ def cmd_reconstruct(args) -> int:
     frames = _resolve_frames(args, cfg)
     pipe = SfMPipeline(cfg, max_keyframes=args.max_keyframes,
                        use_scan=getattr(args, "scan", False))
-    res = pipe.run(frames, data_dir=args.data_dir,
-                   write_obj=not args.no_obj,
-                   checkpoint=getattr(args, "checkpoint", False))
+    timer = profiling.StageTimer()
+    with profiling.trace(getattr(args, "trace", None)):
+        with timer.stage("reconstruct"):
+            res = pipe.run(frames, data_dir=args.data_dir,
+                           write_obj=not args.no_obj,
+                           checkpoint=getattr(args, "checkpoint", False))
+    print(timer.summary())
+    print(f"Throughput: {timer.frames_per_sec(frames.shape[0]):.2f} "
+          "frames/sec end-to-end")
     if res.obj_path:
         print(f"OBJ: {res.obj_path}")
     return 0

@@ -130,11 +130,20 @@ class RansacConfig:
     threshold). On TPU we run a fixed batch of hypotheses: 512 gives 0.999
     confidence for inlier ratios >= ~0.58 (typical for gated keyframe
     pairs); raise it for low-ratio regimes (see ops/ransac.py budget math).
+
+    ``num_hypotheses = 0`` derives the budget from ``confidence`` at
+    ``design_inlier_ratio`` via the classic RANSAC bound
+    (ops/ransac.hypotheses_for) — the reference's prob=0.999 contract made
+    explicit. The default stays a fixed 512 so compiled shapes are stable.
     """
 
     threshold_px: float = 1.0       # main.cpp:590
-    confidence: float = 0.999       # main.cpp:589
-    num_hypotheses: int = 512       # fixed TPU hypothesis budget
+    confidence: float = 0.999       # main.cpp:589; drives the budget when
+                                    # num_hypotheses == 0
+    num_hypotheses: int = 512       # fixed TPU hypothesis budget (0 = derive
+                                    # from confidence at design_inlier_ratio)
+    design_inlier_ratio: float = 0.585  # worst-case w the derived budget
+                                        # must guarantee confidence at
     min_points: int = 8             # main.cpp:574: need >= 8 correspondences
     min_inliers: int = 10           # main.cpp:604
     refit_iters: int = 5            # LO-RANSAC inlier-refit iterations

@@ -41,16 +41,7 @@ from slam_loop_closing_tpu.ops import ransac as ransac_ops
 from slam_loop_closing_tpu.utils import io as io_utils
 
 
-def _ship_frames(frames: np.ndarray) -> jax.Array:
-    """Host->device frame transfer. uint8 frames (the native output of the
-    PNG extraction stage) ship raw and convert to [0,1] float32 on device —
-    the host<->device link runs at tens of MB/s, so shipping float32 costs
-    4x the transfer time for the same pixels (dominant in multi-video
-    batches). Float frames ship unchanged to preserve exact values for
-    callers that already hold floats (synthetic tests)."""
-    if frames.dtype == np.uint8:
-        return jnp.asarray(frames).astype(jnp.float32) / 255.0
-    return jnp.asarray(frames, jnp.float32)
+from slam_loop_closing_tpu.ops.image import ship_frames as _ship_frames
 
 
 @dataclasses.dataclass
@@ -75,6 +66,17 @@ class Frame:
     descriptors: np.ndarray           # [N, 8] uint32 packed
     pose: np.ndarray                  # [4, 4] world->camera
     points3d: np.ndarray              # [M, 3] triangulated points (variable)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _db_insert(db_signed, db_valid, db_xy, db_nfeat, idx, signed, valid, xy,
+               nfeat):
+    """One-row insert into the device frame database with BUFFER DONATION:
+    without donation each ``.at[idx].set`` rewrites the whole
+    [max_frames, N, 256] array (~260 MB at defaults) per frame; donated, XLA
+    aliases input and output buffers and updates the row in place."""
+    return (db_signed.at[idx].set(signed), db_valid.at[idx].set(valid),
+            db_xy.at[idx].set(xy), db_nfeat.at[idx].set(nfeat))
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
@@ -155,16 +157,12 @@ class LoopClosingSystem:
         x1, x2, mask = self._matched_normalized(feats1, feats2, m)
         self._rng, key = jax.random.split(self._rng)
         focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
-        # PROSAC quality = motion-coherence support (see matching.motion_support)
+        # PROSAC quality (single definition: matching.prosac_quality)
         mc = self.config.match
         w_est = 2.0 * float(self.K[0, 2])
-        support = matching.motion_support(
-            x2, x1, mask, max(mc.motion_radius_frac * w_est, 24.0) / focal,
+        quality = matching.prosac_quality(
+            x2, x1, m, max(mc.motion_radius_frac * w_est, 24.0) / focal,
             max(mc.motion_tau_frac * w_est, 8.0) / focal)
-        quality = (support.astype(jnp.float32)
-                   - m.dist.astype(jnp.float32)
-                   / (1.0 + jnp.max(jnp.where(mask, m.dist, 0)
-                                    .astype(jnp.float32))))
         res = ransac_ops.estimate_essential_ransac(
             x1, x2, mask, key, focal, self.config.ransac,
             quality=quality)
@@ -206,11 +204,12 @@ class LoopClosingSystem:
                     pose[:3, 3] = np.asarray(t)
                     points3d = self.triangulate_points(feats, prev, m, R, t)
 
-        # Insert into the device database.
-        self._db_signed = self._db_signed.at[idx].set(feats.signed)
-        self._db_valid = self._db_valid.at[idx].set(feats.keypoints.valid)
-        self._db_xy = self._db_xy.at[idx].set(feats.keypoints.xy)
-        self._db_nfeat = self._db_nfeat.at[idx].set(nfeat)
+        # Insert into the device database (donated in-place row write).
+        (self._db_signed, self._db_valid, self._db_xy,
+         self._db_nfeat) = _db_insert(
+            self._db_signed, self._db_valid, self._db_xy, self._db_nfeat,
+            jnp.asarray(idx, jnp.int32), feats.signed, feats.keypoints.valid,
+            feats.keypoints.xy, jnp.asarray(nfeat, jnp.int32))
         self._frame_ids.append(fid)
         host_scale = 255.0 if image.dtype == np.uint8 else 1.0
         self.frames.append(Frame(
@@ -226,11 +225,19 @@ class LoopClosingSystem:
         """Loop scan of frame ``idx`` against all frames >= min_loop_gap older
         (hpp:48; README.md:119-126) — one jitted banded-similarity call."""
         cfg = self.config.loop
-        positions = jnp.arange(self.max_frames)
+        # bucketed prefix: score only against a power-of-two prefix covering
+        # the frames inserted so far, not all max_frames padded slots (at
+        # the 512-frame default the padded scan did ~5x the matmul work of
+        # a 100-frame session; power-of-two buckets keep the jit cache small)
+        nb = 32
+        while nb < idx + 1:
+            nb *= 2
+        nb = min(nb, self.max_frames)
+        positions = jnp.arange(nb)
         frame_mask = positions <= idx - cfg.min_loop_gap
         counts, sims = _loop_scores(
-            self._db_signed[idx], self._db_nfeat[idx], self._db_signed,
-            self._db_valid, self._db_nfeat, frame_mask,
+            self._db_signed[idx], self._db_nfeat[idx], self._db_signed[:nb],
+            self._db_valid[:nb], self._db_nfeat[:nb], frame_mask,
             self.config.match.hamming_filter_scale)
         counts = np.asarray(counts)
         sims = np.asarray(sims)

@@ -74,13 +74,13 @@ def _match_descriptors(desc_q, valid_q, desc_t, valid_t, ratio: float,
                        detector: str) -> matching.Matches:
     """Detector-generic ratio matching: Hamming MXU matmul for the ORB +-1
     int8 layout (main.cpp:1154's knn2+ratio with the binary path), squared-L2
-    GEMM with ratio^2 for SIFT float descriptors (main.cpp:509-534)."""
+    GEMM with ratio^2 for SIFT float descriptors (main.cpp:509-534). Both
+    wrappers dispatch to fused Pallas top-2 kernels on TPU."""
     if detector == "sift":
-        return matching.ratio_matches(
-            matching.l2sq_matrix(desc_q, desc_t), valid_q, valid_t,
-            ratio * ratio)
-    return matching.ratio_matches(
-        matching.hamming_matrix(desc_q, desc_t), valid_q, valid_t, ratio)
+        return matching.ratio_matches_l2(desc_q, valid_q, desc_t, valid_t,
+                                         ratio)
+    return matching.ratio_matches_hamming(desc_q, valid_q, desc_t, valid_t,
+                                          ratio)
 
 
 class StepInfo(NamedTuple):
@@ -164,20 +164,13 @@ def _sfm_step(state: MapState, xy, norm, valid, signed, frame_idx, key,
 
     # --- essential-matrix RANSAC (main.cpp:1186) --------------------------
     focal = (K[0, 0] + K[1, 1]) * 0.5
-    # PROSAC quality = local motion-coherence support (descriptor distance
-    # is ANTI-correlated with correctness on repetitive texture — see
-    # matching.motion_support)
+    # PROSAC quality (one definition: matching.prosac_quality); pixel floors
+    # keep the support statistic meaningful at small resolutions
     w_est = 2.0 * K[0, 2]
-    # pixel floors keep the statistic meaningful at small resolutions; the
-    # -dist tiebreak keeps ranks informative when support is flat
-    support = matching.motion_support(
-        xq, xt, m.mask, jnp.maximum(cfg.match.motion_radius_frac * w_est,
-                                    24.0),
+    quality = matching.prosac_quality(
+        xq, xt, m,
+        jnp.maximum(cfg.match.motion_radius_frac * w_est, 24.0),
         jnp.maximum(cfg.match.motion_tau_frac * w_est, 8.0))
-    quality = (support.astype(jnp.float32)
-               - m.dist.astype(jnp.float32)
-               / (1.0 + jnp.max(jnp.where(m.mask, m.dist, 0)
-                                .astype(jnp.float32))))
     res = ransac_ops.estimate_essential_ransac(
         last_norm[m.idx], norm, m.mask, key, focal, cfg.ransac,
         quality=quality)
@@ -402,14 +395,10 @@ def _verify_loop_candidates(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
     def one(qi, ti, key):
         m = _match_descriptors(signed[qi], kp_valid[qi], signed[ti],
                                kp_valid[ti], ratio, detector)
-        # PROSAC quality = motion-coherence support in normalized coords
-        # (radius/tau passed pre-divided by focal) with a -dist tiebreak
-        support = matching.motion_support(
-            kp_norm[qi], kp_norm[ti][m.idx], m.mask, radius, tau)
-        quality = (support.astype(jnp.float32)
-                   - m.dist.astype(jnp.float32)
-                   / (1.0 + jnp.max(jnp.where(m.mask, m.dist, 0)
-                                    .astype(jnp.float32))))
+        # PROSAC quality in normalized coords (radius/tau pre-divided by
+        # focal); single definition in matching.prosac_quality
+        quality = matching.prosac_quality(
+            kp_norm[qi], kp_norm[ti][m.idx], m, radius, tau)
         res = ransac_ops.estimate_essential_ransac(
             kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg,
             quality=quality)
@@ -430,14 +419,10 @@ def _verify_loop_scores(signed, kp_valid, kp_norm, cand_q, cand_t, keys,
     def one(qi, ti, key):
         m = _match_descriptors(signed[qi], kp_valid[qi], signed[ti],
                                kp_valid[ti], ratio, detector)
-        # PROSAC quality = motion-coherence support in normalized coords
-        # (radius/tau passed pre-divided by focal) with a -dist tiebreak
-        support = matching.motion_support(
-            kp_norm[qi], kp_norm[ti][m.idx], m.mask, radius, tau)
-        quality = (support.astype(jnp.float32)
-                   - m.dist.astype(jnp.float32)
-                   / (1.0 + jnp.max(jnp.where(m.mask, m.dist, 0)
-                                    .astype(jnp.float32))))
+        # PROSAC quality in normalized coords (radius/tau pre-divided by
+        # focal); single definition in matching.prosac_quality
+        quality = matching.prosac_quality(
+            kp_norm[qi], kp_norm[ti][m.idx], m, radius, tau)
         res = ransac_ops.estimate_essential_ransac(
             kp_norm[ti][m.idx], kp_norm[qi], m.mask, key, focal, cfg,
             quality=quality)
@@ -512,13 +497,12 @@ class SfMPipeline:
         keypoint undistortion for every frame. Returns
         (descriptors [B, N, D], keypoint xy, valid, undistorted xy,
         normalized xy)."""
-        # ship uint8 when possible: the host->device tunnel runs at tens
-        # of MB/s, so a 96-frame 1080p float32 batch costs ~15 s in
-        # transfer alone (measured) — 4x less as uint8
-        if isinstance(frames, np.ndarray) and frames.dtype == np.uint8:
-            fr = jnp.asarray(frames).astype(jnp.float32) / 255.0
-        else:
-            fr = jnp.asarray(frames, jnp.float32)
+        # dtype-keyed uint8 shipping (ops.image.ship_frames: one
+        # normalization contract shared with LoopClosingSystem — a
+        # device-resident uint8 array normalizes identically to a host one)
+        from slam_loop_closing_tpu.ops.image import ship_frames
+
+        fr = ship_frames(frames)
         if self.config.detector == "sift":
             from slam_loop_closing_tpu.ops import sift as sift_ops
 
@@ -694,6 +678,14 @@ class SfMPipeline:
             best.R_rel = np.asarray(res.R[0])
             best.t_rel = np.asarray(res.t[0])
             best.inlier_pairs = (q_idx[mask], np.asarray(midx[0])[mask])
+            # Re-read the counters from THIS verification: the scoring pass
+            # runs in a different XLA program (chunked lax.map) whose
+            # fusion/reduction order can flip the winning hypothesis on
+            # near-ties — the reported numbers must describe the returned
+            # geometry, not the scoring pass's.
+            best.num_matches = int(mcounts[0])
+            best.num_inliers = int(res.num_inliers[0])
+            best.num_pose_inliers = int(res.num_pose_inliers[0])
         if best.found:
             # reference success line (main.cpp:1425-1428)
             self.log(f"  Best loop closure: Frame {best.curr_kf} <-> "

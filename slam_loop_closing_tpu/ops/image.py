@@ -19,6 +19,22 @@ import jax.numpy as jnp
 from slam_loop_closing_tpu.ops import camera as camera_ops
 
 
+def ship_frames(frames) -> jax.Array:
+    """THE host->device frame-shipping contract, keyed on DTYPE only (a
+    device-resident jnp uint8 array must normalize exactly like a host numpy
+    one): uint8 ships raw and converts to [0, 1] float32 on device — the
+    host<->device link runs at tens of MB/s, so shipping float32 costs 4x
+    the transfer time for the same pixels. Float frames pass through
+    unchanged to preserve exact values for callers that already hold floats
+    (synthetic tests). Every pipeline entry point (Version-A
+    ``LoopClosingSystem``, Version-B ``SfMPipeline``) must normalize through
+    this one function."""
+    fr = jnp.asarray(frames)
+    if fr.dtype == jnp.uint8:
+        return fr.astype(jnp.float32) / 255.0
+    return fr.astype(jnp.float32)
+
+
 def rgb_to_gray(img: jax.Array) -> jax.Array:
     """[H, W, 3] -> [H, W] using the BT.601 weights OpenCV uses."""
     w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)

@@ -107,12 +107,43 @@ def ratio_matches(dist: jax.Array, valid_q: jax.Array, valid_t: jax.Array,
                    count=jnp.sum(mask.astype(jnp.int32)))
 
 
+def _ratio_from_knn2(d1, idx1, d2, valid_q, ratio_eff) -> Matches:
+    """Ratio-test Matches from fused top-2 results (same rule as
+    :func:`ratio_matches`; the kernels already applied target validity)."""
+    d1f = d1.astype(jnp.float32)
+    mask = valid_q & (d1f < ratio_eff * d2.astype(jnp.float32)) & (
+        d1f < BIG_F / 2)
+    return Matches(idx=idx1, dist=d1, mask=mask,
+                   count=jnp.sum(mask.astype(jnp.int32)))
+
+
 def ratio_matches_l2(desc_q: jax.Array, valid_q: jax.Array, desc_t: jax.Array,
                      valid_t: jax.Array, ratio: float) -> Matches:
     """SIFT-path matcher: squared-L2 GEMM + ratio test on squared distances
-    (``d1 < r*d2  <=>  d1^2 < r^2*d2^2``), matching cv::BFMatcher NORM_L2."""
+    (``d1 < r*d2  <=>  d1^2 < r^2*d2^2``), matching cv::BFMatcher NORM_L2.
+    On TPU the fused Pallas top-2 kernel runs (the [M, N] distance matrix
+    never leaves VMEM — the dominant find_loop cost at SIFT-4000)."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        d1, idx1, d2 = pallas_kernels.l2_knn2(desc_q, desc_t, valid_t)
+        return _ratio_from_knn2(d1, idx1, d2, valid_q, ratio * ratio)
     return ratio_matches(l2sq_matrix(desc_q, desc_t), valid_q, valid_t,
                          ratio * ratio)
+
+
+def ratio_matches_hamming(signed_q: jax.Array, valid_q: jax.Array,
+                          signed_t: jax.Array, valid_t: jax.Array,
+                          ratio: float) -> Matches:
+    """ORB-path ratio matcher (Hamming knn2 + Lowe ratio), fused on TPU."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        d1, idx1, d2 = pallas_kernels.hamming_knn2(signed_q, signed_t,
+                                                   valid_t)
+        return _ratio_from_knn2(d1, idx1, d2, valid_q, ratio)
+    return ratio_matches(hamming_matrix(signed_q, signed_t), valid_q,
+                         valid_t, ratio)
 
 
 def nn_matches_2xmin(signed_q: jax.Array, valid_q: jax.Array,
@@ -120,11 +151,17 @@ def nn_matches_2xmin(signed_q: jax.Array, valid_q: jax.Array,
                      scale: float = 2.0) -> Matches:
     """Version-A ORB matching rule (README.md:116-117): NN match per query
     descriptor, keep matches with ``dist < scale * min_dist`` where min_dist
-    is the minimum NN distance over this pair's matches."""
-    dist = hamming_matrix(signed_q, signed_t)
-    d = _mask_dist(dist, valid_q, valid_t)
-    idx1 = jnp.argmin(d, axis=1).astype(jnp.int32)
-    d1 = jnp.take_along_axis(d, idx1[:, None], axis=1)[:, 0]
+    is the minimum NN distance over this pair's matches. On TPU the fused
+    Pallas NN kernel supplies (d1, idx) without an HBM distance matrix."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        d1, idx1 = pallas_kernels.hamming_nn(signed_q, signed_t, valid_t)
+    else:
+        dist = hamming_matrix(signed_q, signed_t)
+        d = _mask_dist(dist, valid_q, valid_t)
+        idx1 = jnp.argmin(d, axis=1).astype(jnp.int32)
+        d1 = jnp.take_along_axis(d, idx1[:, None], axis=1)[:, 0]
     row_ok = valid_q & (d1 < BIG // 2)
     dmin = jnp.min(jnp.where(row_ok, d1, BIG))
     # max(2*min, 30): with a strict '< 2*min' a single perfect duplicate
@@ -186,10 +223,16 @@ def block_pair_counts(signed_q: jax.Array, valid_q: jax.Array,
             preferred_element_type=jnp.bfloat16)     # [N, Ft*N], exact
         dist = (jnp.bfloat16(BITS) - dots) * jnp.bfloat16(0.5)
         dist = jnp.where(vflat[None, :], dist, big)
-        d1 = jnp.min(dist.reshape(n, ft, n), axis=2)  # [N, Ft]
-        row_ok = vq[:, None] & (d1 < jnp.bfloat16(BITS + 1))
-        dmin = jnp.min(jnp.where(row_ok, d1, big), axis=0)     # [Ft]
-        thr = jnp.maximum(dmin * jnp.bfloat16(scale), jnp.bfloat16(30.0))
+        # Threshold logic in float32: bf16 has an 8-bit mantissa, so
+        # BITS + 1 = 257 rounds to 256 (excluding an exact-256 distance) and
+        # dmin * scale rounds for any scale where the product is not exactly
+        # representable. The [N, Ft] d1 block is small — only the [N, Ft*N]
+        # distance reduction above needs the bf16 bandwidth win.
+        d1 = jnp.min(dist.reshape(n, ft, n), axis=2).astype(jnp.float32)
+        row_ok = vq[:, None] & (d1 < jnp.float32(BITS + 1))
+        dmin = jnp.min(jnp.where(row_ok, d1, jnp.float32(512.0)),
+                       axis=0)                                 # [Ft]
+        thr = jnp.maximum(dmin * jnp.float32(scale), jnp.float32(30.0))
         return jnp.sum((row_ok & (d1 < thr[None, :])).astype(jnp.int32),
                        axis=0)                       # [Ft]
 
@@ -257,6 +300,37 @@ def banded_pair_counts(signed: jax.Array, valid: jax.Array, min_gap: int,
     q = jnp.arange(f)[:, None]
     t = jnp.arange(f)[None, :]
     return jnp.where(t <= q - min_gap, counts, 0)
+
+
+def dense_pair_counts_chunked(signed, valid, scale: float = 2.0,
+                              min_gap: int = 1,
+                              pairs_per_call: int = 8192) -> "np.ndarray":
+    """Sequence-scale DENSE all-pairs good-match counts (BASELINE config 2:
+    500-frame ORB-4000 dense similarity): every ordered pair
+    ``t <= q - min_gap`` evaluated through the fused per-pair NN kernel
+    (:func:`all_pairs_good_counts` -> Pallas on TPU, where the [N, N]
+    distance block never leaves VMEM — at ORB-4000 the XLA flattened-target
+    formulation would materialize ~0.5 GB of HBM per query block). Pairs are
+    dispatched ``pairs_per_call`` per device program: one program holding
+    all ~125k pairs runs long enough to trip the device watchdog (same
+    lesson as :func:`banded_pair_counts_chunked`). Returns the [F, F] numpy
+    count matrix with out-of-range entries zeroed."""
+    import numpy as np
+
+    f = signed.shape[0]
+    pq_all = [(q, t) for q in range(f) for t in range(0, q - min_gap + 1)]
+    out = np.zeros((f, f), np.int32)
+    for s in range(0, len(pq_all), pairs_per_call):
+        chunk = pq_all[s:s + pairs_per_call]
+        pad = (-len(chunk)) % 8
+        padded = chunk + [chunk[0]] * pad
+        pq = jnp.asarray([c[0] for c in padded], jnp.int32)
+        pt = jnp.asarray([c[1] for c in padded], jnp.int32)
+        counts = np.asarray(all_pairs_good_counts(signed, valid, pq, pt,
+                                                  scale))
+        for (q, t), c in zip(chunk, counts):
+            out[q, t] = c
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
@@ -357,6 +431,23 @@ def gather_matched_points(xy_q: jax.Array, xy_t: jax.Array,
     return xy_q, xy_t[m.idx]
 
 
+def prosac_quality(xy_q: jax.Array, xy_t_matched: jax.Array,
+                   m: "Matches", radius: float, tau: float) -> jax.Array:
+    """THE PROSAC sampling-quality term for RANSAC: local motion-coherence
+    support (:func:`motion_support`) with a ``-dist`` tiebreak that keeps
+    ranks informative when support is flat. Descriptor distance is
+    ANTI-correlated with correctness on repetitive texture, so support is
+    primary and distance only breaks ties (normalized into (0, 1) so it can
+    never outvote one unit of support). Single definition — this expression
+    decides whether RANSAC converges at all, so every call site (SfM keyframe
+    step, loop verification, Version-A pose estimation) must use this one."""
+    support = motion_support(xy_q, xy_t_matched, m.mask, radius, tau)
+    dist_f = m.dist.astype(jnp.float32)
+    return (support.astype(jnp.float32)
+            - dist_f / (1.0 + jnp.max(jnp.where(m.mask, m.dist, 0)
+                                      .astype(jnp.float32))))
+
+
 def motion_support(xy_q: jax.Array, xy_t_matched: jax.Array, mask: jax.Array,
                    radius: float, tau: float) -> jax.Array:
     """Local motion-coherence support per match (GMS-style, Bian et al.
@@ -368,7 +459,16 @@ def motion_support(xy_q: jax.Array, xy_t_matched: jax.Array, mask: jax.Array,
     SIFT regime, ranking by support lifts the top-64 pool from 8% to 80%
     inliers where descriptor distance is ANTI-correlated with correctness.
     Feed the result to RANSAC's PROSAC ``quality``. Units of ``radius``/
-    ``tau`` follow the coordinates passed (pixels or normalized)."""
+    ``tau`` follow the coordinates passed (pixels or normalized).
+
+    On TPU the fused Pallas kernel runs — the two [N, N] distance blocks
+    stay in VMEM (at N=4000 the XLA path materializes ~400 MB of HBM
+    traffic per call, a dominant loop-scoring cost)."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        return pallas_kernels.motion_support_pallas(xy_q, xy_t_matched, mask,
+                                                    radius, tau)
 
     def sq_dists(a):
         n2 = jnp.sum(a * a, axis=1)

@@ -133,6 +133,197 @@ def good_count_pair_pallas(signed_q, valid_q, signed_t, valid_t,
 
 
 # ---------------------------------------------------------------------------
+# fused top-2 (knn2) kernels: ratio-test matching without HBM round-trips
+# ---------------------------------------------------------------------------
+
+def _rowmin2(dist, big):
+    """(d1, idx1, d2) per row of a VMEM-resident distance block, with
+    argmin expressed as iota-min (argmin's Mosaic lowering miscompiles in
+    these kernels) and d2 = min excluding idx1's column — the exact
+    semantics of matching.knn2."""
+    d1 = jnp.min(dist, axis=1, keepdims=True)
+    n = dist.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    idx1 = jnp.min(jnp.where(dist == d1, col, n), axis=1, keepdims=True)
+    d2 = jnp.min(jnp.where(col == idx1, big, dist), axis=1, keepdims=True)
+    return d1, idx1, d2
+
+
+def _hamming_knn2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, idx_ref, d2_ref):
+    """Query tile [TM, 256] vs the full target set: Hamming distances on the
+    MXU (+-1 bf16 encoding, exact), then top-2 row reduction — the [TM, N]
+    block never reaches HBM (same scheme as _hamming_nn_kernel)."""
+    dots = jax.lax.dot_general(
+        q_ref[...].astype(jnp.bfloat16), t_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    dist = (BITS - dots) >> 1
+    dist = jnp.where(tvalid_ref[...] != 0, dist, _BIG)
+    d1, idx1, d2 = _rowmin2(dist, _BIG)
+    d1_ref[...] = d1
+    idx_ref[...] = idx1
+    d2_ref[...] = d2
+
+
+def _l2_knn2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, idx_ref, d2_ref):
+    """Query tile [TM, D] float32 vs the full target set [N, D]: squared-L2
+    via the GEMM expansion, top-2 row reduction in VMEM. Distances match
+    matching.l2sq_matrix (f32 accumulation; precision pinned to DEFAULT —
+    the package-global "highest" has no Mosaic lowering here)."""
+    q = q_ref[...]
+    t = t_ref[...]
+    dots = jax.lax.dot_general(
+        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)                   # [TM, N]
+    nq = jnp.sum(q * q, axis=1, keepdims=True)                # [TM, 1]
+    nt = jnp.sum(t * t, axis=1, keepdims=True)                # [N, 1]
+    dist = jnp.maximum(nq - 2.0 * dots + nt.reshape(1, -1), 0.0)
+    big = jnp.float32(1e30)
+    dist = jnp.where(tvalid_ref[...] != 0, dist, big)
+    d1, idx1, d2 = _rowmin2(dist, big)
+    d1_ref[...] = d1
+    idx_ref[...] = idx1
+    d2_ref[...] = d2
+
+
+def _knn2_call(kernel, q, t, valid_t, tile_m, interpret, d_dtype):
+    """Shared pallas_call plumbing for the knn2 kernels: pad N to 128 lanes
+    and M to the query tile, run the grid, crop. Returns ([M] d1, [M] idx,
+    [M] d2)."""
+    m, d = q.shape
+    n = t.shape[0]
+    n_pad = (-n) % 128
+    m_pad = (-m) % tile_m
+    if n_pad:
+        t = jnp.pad(t, ((0, n_pad), (0, 0)))
+        valid_t = jnp.pad(valid_t, (0, n_pad))
+    if m_pad:
+        q = jnp.pad(q, ((0, m_pad), (0, 0)))
+    np_, mp = n + n_pad, m + m_pad
+
+    d1, idx, d2 = pl.pallas_call(
+        kernel,
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), d_dtype),
+            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((mp, 1), d_dtype),
+        ],
+        interpret=interpret,
+    )(q, t, valid_t.astype(jnp.int32)[None, :])
+    return d1[:m, 0], idx[:m, 0], d2[:m, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def hamming_knn2(signed_q: jax.Array, signed_t: jax.Array,
+                 valid_t: jax.Array, tile_m: int = 256,
+                 interpret: bool = False):
+    """Fused Hamming top-2 per query row: ([M] d1, [M] idx1, [M] d2) —
+    matching.knn2(hamming_matrix(...)) without materializing the [M, N]
+    distance matrix in HBM. Query validity applied by the caller."""
+    return _knn2_call(_hamming_knn2_kernel, signed_q, signed_t, valid_t,
+                      tile_m, interpret, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def l2_knn2(desc_q: jax.Array, desc_t: jax.Array, valid_t: jax.Array,
+            tile_m: int = 256, interpret: bool = False):
+    """Fused squared-L2 top-2 per query row (the SIFT ratio-test inner
+    loop): ([M] d1sq, [M] idx1, [M] d2sq). At SIFT-4000 the XLA path reads/
+    writes the 64 MB [4000, 4000] f32 distance matrix ~3x per pair; here it
+    never leaves VMEM — HBM traffic drops to the descriptor reads."""
+    return _knn2_call(_l2_knn2_kernel, desc_q.astype(jnp.float32),
+                      desc_t.astype(jnp.float32), valid_t, tile_m, interpret,
+                      jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# fused motion-coherence support kernel (the PROSAC quality statistic)
+# ---------------------------------------------------------------------------
+
+def _support_kernel(q_ref, t_ref, mask_ref, rt_ref, s_ref):
+    """Query tile [TM, 4] of (x, y, dx, dy) vs the full transposed match set
+    [4, N]: counts, per query match, the matches within ``radius`` whose
+    displacement agrees within ``tau`` — two broadcasted squared-distance
+    blocks in VMEM (the XLA path materializes both [N, N] blocks in HBM).
+    rt_ref is [1, 2] = (radius^2, tau^2)."""
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qdx = q_ref[:, 2:3]
+    qdy = q_ref[:, 3:4]
+    tx = t_ref[0:1, :]
+    ty = t_ref[1:2, :]
+    tdx = t_ref[2:3, :]
+    tdy = t_ref[3:4, :]
+    r2 = rt_ref[0, 0]
+    t2 = rt_ref[0, 1]
+    near = ((qx - tx) ** 2 + (qy - ty) ** 2) < r2          # [TM, N]
+    agree = ((qdx - tdx) ** 2 + (qdy - tdy) ** 2) < t2
+    ok = near & agree & (mask_ref[...] != 0)
+    s_ref[...] = jnp.sum(ok.astype(jnp.int32), axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def motion_support_pallas(xy_q: jax.Array, xy_t_matched: jax.Array,
+                          mask: jax.Array, radius, tau,
+                          tile_m: int = 512, interpret: bool = False):
+    """Drop-in for matching.motion_support (same semantics incl. the
+    self-support exclusion); radius/tau may be traced scalars."""
+    n = xy_q.shape[0]
+    disp = xy_q - xy_t_matched
+    q = jnp.concatenate([xy_q, disp], axis=1).astype(jnp.float32)  # [N, 4]
+    m_pad = (-n) % tile_m
+    n_pad = (-n) % 128
+    qp = jnp.pad(q, ((0, m_pad), (0, 0)))
+    tp = jnp.pad(q.T, ((0, 0), (0, n_pad)))                        # [4, NP]
+    maskp = jnp.pad(mask.astype(jnp.int32), (0, n_pad))[None, :]
+    rt = jnp.stack([jnp.square(jnp.asarray(radius, jnp.float32)),
+                    jnp.square(jnp.asarray(tau, jnp.float32))]).reshape(1, 2)
+    mp, np_ = n + m_pad, n + n_pad
+
+    s = pl.pallas_call(
+        _support_kernel,
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        interpret=interpret,
+    )(qp, tp, maskp, rt)
+    # exclude self-support so padding/isolated matches score 0 (the XLA
+    # path's `- mask` term; invalid rows sum to... their own row counts are
+    # masked by mask_j only, so zero them explicitly like the XLA path)
+    return jnp.where(mask, s[:n, 0] - 1, 0)
+
+
+# ---------------------------------------------------------------------------
 # fused FAST-9 score + NMS kernel
 # ---------------------------------------------------------------------------
 

@@ -38,6 +38,31 @@ from slam_loop_closing_tpu.config import RansacConfig
 from slam_loop_closing_tpu.ops import epipolar
 
 
+def hypotheses_for(confidence: float, inlier_ratio: float,
+                   sample_size: int = 8) -> int:
+    """Minimum fixed hypothesis budget H with the classic RANSAC guarantee
+    ``(1 - w^s)^H <= 1 - confidence`` (reference main.cpp:589's prob=0.999
+    recast for a fixed batch — the adaptive-iteration stop the reference
+    gets from OpenCV). This is what ``RansacConfig.confidence`` drives when
+    ``num_hypotheses`` is left 0."""
+    import math
+
+    w = min(max(inlier_ratio, 1e-6), 1.0 - 1e-6)
+    miss = 1.0 - w ** sample_size
+    return max(1, math.ceil(math.log(max(1.0 - confidence, 1e-12))
+                            / math.log(miss)))
+
+
+def resolved_hypotheses(cfg: RansacConfig) -> int:
+    """The hypothesis budget a config actually runs: an explicit
+    ``num_hypotheses`` wins; 0 derives it from ``confidence`` at the
+    config's design inlier ratio (see :func:`hypotheses_for`)."""
+    if cfg.num_hypotheses:
+        return cfg.num_hypotheses
+    return hypotheses_for(cfg.confidence, cfg.design_inlier_ratio,
+                          cfg.min_points)
+
+
 class EssentialResult(NamedTuple):
     """Result of :func:`estimate_essential_ransac` (all device arrays)."""
 
@@ -117,8 +142,8 @@ def estimate_essential_ransac(
     num_valid = jnp.sum(mask.astype(jnp.int32))
     thresh_sq = (cfg.threshold_px / focal) ** 2
 
-    idx = _sample_minimal_sets(key, mask, cfg.num_hypotheses, cfg.min_points,
-                               quality)
+    num_h = resolved_hypotheses(cfg)
+    idx = _sample_minimal_sets(key, mask, num_h, cfg.min_points, quality)
     p1 = x1[idx]  # [H, 8, 2]
     p2 = x2[idx]
     # Minimal-sample models: exact nullspace of the [8, 9] design via
@@ -129,14 +154,20 @@ def estimate_essential_ransac(
     # inlier recall at the 1 px threshold drops ~3x (measured on synthetic
     # two-view scenes with 0.7 px noise). Only the *winner* is projected.
     Fs = epipolar.nullspace_8x9(epipolar.epipolar_design(p1, p2))
-    Fs = Fs.reshape(cfg.num_hypotheses, 3, 3)
+    Fs = Fs.reshape(num_h, 3, 3)
 
     errs = jax.vmap(epipolar.sampson_error, in_axes=(0, None, None))(
         Fs, x1, x2)  # [H, N]
     inlier_mat = (errs < thresh_sq) & mask[None, :]
     counts = jnp.sum(inlier_mat.astype(jnp.int32), axis=1)  # [H]
-    # Guard degenerate hypotheses: a sample with fewer than 8 valid points
-    # (num_valid < 8) produces garbage E; zero its count.
+    # Guard degenerate hypotheses. Per-hypothesis: approx_max_k over a
+    # heavily -inf-masked Gumbel row can return masked indices when few
+    # entries are finite (num_valid barely >= 8, tiny PROSAC pools), which
+    # would put invalid zero correspondences into the minimal sample — zero
+    # the count of any hypothesis whose sample touches an invalid row.
+    # Global: num_valid < 8 produces garbage E everywhere.
+    sample_ok = jnp.all(mask[idx], axis=1)                   # [H]
+    counts = jnp.where(sample_ok, counts, 0)
     counts = jnp.where(num_valid >= cfg.min_points, counts, 0)
     best = jnp.argmax(counts)
 

@@ -210,10 +210,22 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
     return xy0, sigma, vals, valid, mag, ang, jnp.stack([x, y], -1)
 
 
-PATCH = 40  # descriptor sample radius <= 7.5*sqrt(2)*scale + 1 ~ 18 px at
-#             the largest interior sigma; the 40-px patch (center ~19,19)
-#             covers it, so patch-local sampling is value-identical to
-#             image-wide sampling (image-border clamping included).
+import math as _math
+
+PATCH = 40
+# Descriptor support: the |u|,|v| < 10 grid-unit window spans a rotated
+# square of half-width 10*scale px — circumscribed radius
+# 10*scale*sqrt(2). The patch center sits at (19, 19), so full coverage
+# needs scale <= 19 / (10*sqrt(2)) ~ 1.34; the raw 0.5*sigma scale reaches
+# ~1.8 at the largest in-octave sigma (subpixel ds included). The effective
+# descriptor scale is therefore CAPPED at _SCALE_CAP below: with the cap,
+# patch-local sampling is value-identical to image-wide sampling
+# (image-border clamping included); without it the rotated corners of the
+# largest-sigma keypoints would be silently truncated (direction-dependent
+# descriptor bias). The cap shrinks the spatial window symmetrically for
+# those keypoints instead — consistent across images, so matching is
+# unaffected in a way truncation is not.
+_SCALE_CAP = (PATCH // 2 - 1) / (10.0 * _math.sqrt(2.0))
 
 
 def _extract_grad_patches(mag: jax.Array, ang: jax.Array, xy: jax.Array,
@@ -259,7 +271,9 @@ def _orientation_and_descriptor(mag: jax.Array, ang: jax.Array,
     p = pm.shape[1]
     pmf = pm.reshape(k, p * p)
     paf = pa.reshape(k, p * p)
-    scale = jnp.maximum(sigma_oct, 1.0) * 0.5                # [K]
+    # capped so the rotated descriptor window stays inside the patch — see
+    # the _SCALE_CAP note at the PATCH definition
+    scale = jnp.minimum(jnp.maximum(sigma_oct, 1.0) * 0.5, _SCALE_CAP)  # [K]
 
     # static patch pixel offsets relative to each keypoint's position
     pix = jnp.arange(p, dtype=jnp.float32)

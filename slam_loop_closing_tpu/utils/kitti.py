@@ -47,6 +47,26 @@ def load_gt_poses(root: str | Path, seq: str = "00") -> np.ndarray | None:
     return rows.reshape(-1, 3, 4)
 
 
+def loop_recall(pred_pairs, gt_pairs, tol: int = 5) -> float:
+    """Fraction of ground-truth loop pairs (i, j) for which some predicted
+    pair (i', j') lies within ``tol`` frames on both indices. Place
+    recognition credits a detection that fires a few frames early/late at
+    the same revisit — the standard tolerance-windowed recall. Returns 0.0
+    when there are no ground-truth pairs."""
+    gt = list(gt_pairs)
+    if not gt:
+        return 0.0
+    pred = np.asarray(list(pred_pairs), dtype=np.int64).reshape(-1, 2)
+    if pred.size == 0:
+        return 0.0
+    hit = 0
+    for (i, j) in gt:
+        d = np.abs(pred - [i, j]).max(axis=1)
+        if (d <= tol).any():
+            hit += 1
+    return hit / len(gt)
+
+
 def gt_loop_pairs(poses: np.ndarray, dist_thresh: float = 10.0,
                   min_gap: int = 100) -> list[tuple[int, int]]:
     """Ground-truth loop closures: frame pairs whose camera centers are

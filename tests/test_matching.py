@@ -153,3 +153,39 @@ class TestAllPairs:
         c = jnp.asarray([50, 10])
         s = matching.similarity(c, jnp.asarray([100, 100]), jnp.asarray([200, 40]))
         np.testing.assert_allclose(np.asarray(s), [0.5, 0.25])
+
+
+def test_prosac_quality_support_primary_dist_tiebreak(rng):
+    # support dominates; -dist only breaks ties (normalized < 1 unit)
+    n = 16
+    xy_q = jnp.asarray(rng.uniform(0, 100, (n, 2)), jnp.float32)
+    xy_t = xy_q + 2.0  # coherent displacement: everyone supports everyone
+    mask = jnp.ones(n, bool).at[-4:].set(False)
+    dist = jnp.asarray(rng.uniform(10, 200, (n,)), jnp.float32)
+    m = matching.Matches(idx=jnp.arange(n, dtype=jnp.int32), dist=dist,
+                         mask=mask, count=jnp.sum(mask.astype(jnp.int32)))
+    q = np.asarray(matching.prosac_quality(xy_q, xy_t, m, 50.0, 5.0))
+    sup = np.asarray(matching.motion_support(xy_q, xy_t, mask, 50.0, 5.0))
+    # quality = support - dist / (1 + max(dist over mask)), exactly
+    dmax = float(np.max(np.asarray(dist)[np.asarray(mask)]))
+    np.testing.assert_allclose(
+        q, sup - np.asarray(dist) / (1.0 + dmax), rtol=1e-6)
+    # the tiebreak never moves a match across a support level
+    assert np.all(np.abs(q - sup) < 1.0)
+
+
+def test_dense_chunked_matches_dense(rng):
+    f, n = 6, 32
+    signed = np.zeros((f, n, 256), np.int8)
+    valid = np.ones((f, n), bool)
+    for i in range(f):
+        _, _, s = random_descs(rng, n)
+        signed[i] = np.asarray(s)
+    sj, vj = jnp.asarray(signed), jnp.asarray(valid)
+    dense = np.asarray(matching.dense_pair_counts(sj, vj, t_block=4))
+    got = matching.dense_pair_counts_chunked(sj, vj, min_gap=1,
+                                             pairs_per_call=7)
+    for i in range(f):
+        for j in range(f):
+            want = dense[i, j] if j <= i - 1 else 0
+            assert got[i, j] == want, (i, j)

@@ -64,3 +64,65 @@ class TestFastKernel:
         # and scores agree where both have peaks
         both = (got > 0.01) & (ref > 0.01)
         np.testing.assert_allclose(got[both], ref[both], atol=5e-3)
+
+
+class TestKnn2Kernels:
+    def test_hamming_knn2_matches_xla(self, rng):
+        sq = random_signed(rng, 70)
+        st = random_signed(rng, 90)
+        vq = jnp.asarray(np.arange(70) < 66)
+        vt = jnp.asarray(np.arange(90) < 80)
+        d1, idx, d2 = pallas_kernels.hamming_knn2(sq, st, vt, tile_m=64,
+                                                  interpret=True)
+        ref = matching.knn2(matching.hamming_matrix(sq, st),
+                            jnp.ones(70, bool), vt)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(ref.d1))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.idx1))
+        np.testing.assert_array_equal(np.asarray(d2), np.asarray(ref.d2))
+
+    def test_l2_knn2_matches_xla(self, rng):
+        # integer-valued descriptors: the GEMM expansion and the kernel
+        # compute identical f32 distances, so the comparison is exact
+        dq = jnp.asarray(rng.integers(0, 16, (50, 128)), jnp.float32)
+        dt = jnp.asarray(rng.integers(0, 16, (60, 128)), jnp.float32)
+        vt = jnp.asarray(np.arange(60) < 55)
+        d1, idx, d2 = pallas_kernels.l2_knn2(dq, dt, vt, tile_m=32,
+                                             interpret=True)
+        ref = matching.knn2(matching.l2sq_matrix(dq, dt),
+                            jnp.ones(50, bool), vt)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(ref.d1),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref.idx1))
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(ref.d2),
+                                   rtol=1e-6)
+
+    def test_ratio_from_knn2_matches_ratio_matches(self, rng):
+        dq = jnp.asarray(rng.integers(0, 16, (40, 128)), jnp.float32)
+        dt = jnp.asarray(rng.integers(0, 16, (40, 128)), jnp.float32)
+        vq = jnp.asarray(np.arange(40) < 36)
+        vt = jnp.asarray(np.arange(40) < 38)
+        ref = matching.ratio_matches(matching.l2sq_matrix(dq, dt), vq, vt,
+                                     0.8 * 0.8)
+        d1, idx, d2 = pallas_kernels.l2_knn2(dq, dt, vt, tile_m=32,
+                                             interpret=True)
+        got = matching._ratio_from_knn2(d1, idx, d2, vq, 0.8 * 0.8)
+        np.testing.assert_array_equal(np.asarray(got.mask),
+                                      np.asarray(ref.mask))
+        assert int(got.count) == int(ref.count)
+        m = np.asarray(ref.mask)
+        np.testing.assert_array_equal(np.asarray(got.idx)[m],
+                                      np.asarray(ref.idx)[m])
+
+
+class TestMotionSupportKernel:
+    def test_matches_xla(self, rng):
+        # integer coordinates: both formulations are exact in f32
+        n = 100
+        xy_q = jnp.asarray(rng.integers(0, 200, (n, 2)), jnp.float32)
+        xy_t = jnp.asarray(rng.integers(0, 200, (n, 2)), jnp.float32)
+        mask = jnp.asarray(np.arange(n) < 90)
+        ref = matching.motion_support(xy_q, xy_t, mask, 30.0, 7.0)
+        got = pallas_kernels.motion_support_pallas(xy_q, xy_t, mask,
+                                                   30.0, 7.0, tile_m=64,
+                                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -265,3 +265,21 @@ class TestLoopSearch:
                                     shared_winner=99)
         res = loop_pipe.find_loop(state)
         assert not res.found
+
+
+def test_ship_frames_dtype_keyed_contract(rng):
+    """uint8 normalization must key on dtype only: a device-resident jnp
+    uint8 array and a host numpy uint8 array produce identical [0,1] floats
+    (ADVICE r2: the old isinstance(np.ndarray) check silently skipped /255
+    for jnp inputs)."""
+    import jax.numpy as jnp
+
+    from slam_loop_closing_tpu.ops.image import ship_frames
+
+    u8 = rng.integers(0, 256, (2, 8, 8), dtype=np.uint8)
+    a = np.asarray(ship_frames(u8))
+    b = np.asarray(ship_frames(jnp.asarray(u8)))
+    np.testing.assert_array_equal(a, b)
+    assert a.max() <= 1.0
+    f32 = u8.astype(np.float32) / 255.0
+    np.testing.assert_array_equal(np.asarray(ship_frames(f32)), f32)
