@@ -115,16 +115,16 @@ def undistort_image(img: jax.Array, K: jax.Array, dist: jax.Array) -> jax.Array:
     return bilinear_sample(img, src.reshape(h, w, 2))
 
 
-def pyramid(img: jax.Array, num_levels: int, scale_factor: float,
-            blur_sigma: float = 1.0):
+def pyramid(img: jax.Array, num_levels: int, scale_factor: float):
     """ORB-style image pyramid: level L is the input downscaled by
-    ``scale_factor**L`` (with a light anti-alias blur). Returns a list of
-    arrays (static shapes per level, so each level jit-compiles once)."""
+    ``scale_factor**L`` via straight bilinear resize of the previous level —
+    exactly cv::ORB's pyramid (INTER_LINEAR, no anti-alias blur; the 1.2
+    scale step keeps aliasing negligible). Returns a list of arrays (static
+    shapes per level, so each level jit-compiles once)."""
     levels = [img]
     h, w = img.shape
     for lvl in range(1, num_levels):
         s = scale_factor ** lvl
         nh, nw = max(8, int(round(h / s))), max(8, int(round(w / s)))
-        levels.append(resize_bilinear(gaussian_blur(levels[-1], blur_sigma),
-                                      nh, nw))
+        levels.append(resize_bilinear(levels[-1], nh, nw))
     return levels
