@@ -78,7 +78,7 @@ def main():
     stages[name] = dt
 
     name, dt, blurred = timed("desc_blur_l0", jax.jit(jax.vmap(
-        lambda im: image_ops.gaussian_blur(im, 2.0))), lvl0)
+        lambda im: image_ops.gaussian_blur(im, 2.0, 3))), lvl0)
     stages[name] = dt
 
     xy, resp, valid = jax.jit(jax.vmap(
@@ -89,6 +89,11 @@ def main():
 
     name, dt, patches = timed("extract_patches_l0", jax.jit(jax.vmap(
         lambda im, p: orb.extract_patches(im, p)[0])), blurred, xy)
+    stages[name] = dt
+
+    # the production path: pipelined-DMA Pallas patch gather
+    name, dt, _pp = timed("extract_patches_pallas_l0", jax.jit(jax.vmap(
+        lambda im, p: orb.extract_patches_fast(im, p))), blurred, xy)
     stages[name] = dt
 
     G = orb.brief_matrices(cfg)

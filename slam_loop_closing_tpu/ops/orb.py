@@ -145,53 +145,18 @@ def extract_patches(img: jax.Array, xy: jax.Array,
     return jax.vmap(one)(xy)
 
 
-def pack_gray_u8(img: jax.Array) -> jax.Array:
-    """Quantize a [H, W] float image in [0, 1] to uint8 and pack 4 pixels
-    per uint32 lane -> [H, ceil((W+8)/4)] uint32 (the +8 right padding keeps
-    every patch slice in-bounds without clipping, see
-    :func:`extract_patches_packed`). cv::ORB samples BRIEF from a u8 image,
-    so the 8-bit quantization matches the reference's own precision."""
-    h, w = img.shape
-    wp = ((w + 8 + 3) // 4) * 4
-    q = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    q = jnp.pad(q, ((0, 0), (0, wp - w)))
-    return jax.lax.bitcast_convert_type(q.reshape(h, wp // 4, 4), jnp.uint32)
+def extract_patches_fast(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """[K, 32, 32] patches via the fastest available path: the pipelined-DMA
+    Pallas kernel on TPU (~5x the vmapped-dynamic-slice gather, whose
+    per-slice DMA latency is exposed serially — ~2.2 us/keypoint on v5e
+    regardless of slice shape or dtype), the XLA gather elsewhere.
+    Both are value-identical for interior keypoints (border keypoints are
+    excluded by the detector's ``border`` margin before this runs)."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
 
-
-def extract_patches_packed(packed: jax.Array, xy: jax.Array,
-                           patch: int = PATCH) -> jax.Array:
-    """[K, patch, patch] float32 patches (0..255 scale) gathered from a
-    4-pixel-per-lane packed image (:func:`pack_gray_u8`).
-
-    TPU gathers cost per ELEMENT, not per byte (~2 ns/elem measured on
-    v5e), so gathering [patch, patch//4+1] uint32 lanes instead of
-    [patch, patch] float32 pixels cuts the dominant front-end gather ~3.5x;
-    the sub-lane x offset (0..3) is fixed up with three in-register shifted
-    selects so the patch center lands exactly at the nominal (_PC, _PC) the
-    binned-BRIEF matrices assume. Orientation moments and BRIEF comparisons
-    are scale-invariant, so the 0..255 value scale needs no renormalization.
-    """
-    h, wq = packed.shape
-    lanes = patch // 4 + 1
-    k = xy.shape[0]
-
-    def one(pt):
-        xi = pt[0].astype(jnp.int32)
-        yi = pt[1].astype(jnp.int32)
-        x0 = jnp.maximum(xi - _PC, 0)
-        xq = jnp.clip(x0 >> 2, 0, wq - lanes)
-        y0 = jnp.clip(yi - _PC, 0, h - patch)
-        block = jax.lax.dynamic_slice(packed, (y0, xq), (patch, lanes))
-        return block, x0 - (xq << 2)
-
-    blocks, off = jax.vmap(one)(xy)                    # [K, patch, lanes]
-    u8 = jax.lax.bitcast_convert_type(blocks, jnp.uint8)
-    wide = u8.reshape(k, patch, lanes * 4).astype(jnp.float32)
-    out = wide[:, :, 0:patch]
-    for s in (1, 2, 3):
-        out = jnp.where((off == s)[:, None, None],
-                        wide[:, :, s:s + patch], out)
-    return out
+    if pallas_kernels.use_pallas():
+        return pallas_kernels.extract_patches_pallas(img, xy)
+    return extract_patches(img, xy)[0]
 
 
 def _orientation_moment_weights(patch: int = PATCH,
@@ -389,13 +354,13 @@ def _detect_level(level_img: jax.Array, level: int, budget: int,
         level_img, threshold=thr, num_features=budget,
         nms_radius=cfg.nms_radius, border=cfg.border,
         grid_cell=cfg.grid_cell)
-    # Patch-based description (see extract_patches_packed): ONE packed patch
-    # extraction from the blurred level serves both the orientation moments
-    # and the binned-rotation BRIEF matmuls (patch gathers are the remaining
-    # gather-bound stage — 4-px-per-lane packing cuts them ~3.5x; the
+    # ONE patch extraction from the blurred level serves both the
+    # orientation moments and the binned-rotation BRIEF matmuls (the
     # intensity centroid on the blurred image differs negligibly from raw).
-    blurred = image_ops.gaussian_blur(level_img, 2.0)
-    patches = extract_patches_packed(pack_gray_u8(blurred), xy)
+    # Blur matches cv::ORB's descriptor prefilter exactly: GaussianBlur
+    # 7x7, sigma 2 (radius 3, not the default 3*sigma truncation).
+    blurred = image_ops.gaussian_blur(level_img, 2.0, 3)
+    patches = extract_patches_fast(blurred, xy)
     mw = jnp.asarray(_orientation_moment_weights())
     ang = orientation_from_patches(patches, valid, mw)
     bits = brief_from_patches_binned(patches, ang, valid, pattern)

@@ -482,6 +482,195 @@ def fast_score_nms(img: jax.Array, threshold: float = 20.0 / 255.0,
 
 
 # ---------------------------------------------------------------------------
+# patch gather: pipelined aligned DMAs (the ORB front-end's dominant stage)
+# ---------------------------------------------------------------------------
+
+_P32 = 32          # patch side (orb.PATCH)
+_PCENTER = 15      # nominal center offset (orb._PC)
+_WIN_H = 40        # 8-aligned row window covering any 32-row patch
+_WIN_W = 256       # 128-aligned lane window covering any 32-col patch
+_RING = 8          # in-flight DMA depth
+
+
+def _patch_kernel(pk_ref, img_hbm, out_ref, win_ref, sem, *,
+                  chunk: int, total: int, batched: bool):
+    """Gather one [32, 32] patch per keypoint via a ring of ``_RING``
+    outstanding aligned DMAs.
+
+    XLA lowers vmapped ``dynamic_slice`` gathers to one serialized DMA per
+    slice with the full issue+completion latency exposed (~2.2 us/keypoint
+    measured on v5e — flat in the slice's shape, dtype, and element count,
+    so packing tricks don't touch it). Here each keypoint DMAs its aligned
+    [40, 256] superset window HBM->VMEM with the latency hidden ``_RING``
+    deep, then fixes up the sub-tile offset in-register: a dynamic-sublane
+    read for the row offset and a lane roll for the column offset.
+
+    Window origins + in-window offsets arrive bit-packed one int32 per
+    keypoint via scalar prefetch (see :func:`_patch_offsets`); SMEM holds
+    the whole batch's table at once (1 MB budget — callers split very
+    large batches, see :func:`_patch_call_batched`)."""
+    if batched:
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        src = img_hbm.at[b]
+        kbase = b * total + c * chunk
+    else:
+        src = img_hbm
+        kbase = pl.program_id(0) * chunk
+
+    def start(j):
+        slot = jax.lax.rem(j, _RING)
+        p = pk_ref[kbase + j]
+        yq = pl.multiple_of((p >> 17) * 8, 8)
+        xq = pl.multiple_of(((p >> 7) & 0x7f) * 128, 128)
+        pltpu.make_async_copy(
+            src.at[pl.ds(yq, _WIN_H), pl.ds(xq, _WIN_W)],
+            win_ref.at[slot], sem.at[slot]).start()
+
+    for j in range(min(_RING, chunk)):
+        start(j)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, _RING)
+        pltpu.make_async_copy(src.at[pl.ds(0, _WIN_H), pl.ds(0, _WIN_W)],
+                              win_ref.at[slot], sem.at[slot]).wait()
+        # offset fixup by circular shifts (Mosaic cannot prove dynamic
+        # sublane starts 8-aligned, so reads with pl.ds(dy, .) are out;
+        # rolls take dynamic non-negative shifts on both axes)
+        p = pk_ref[kbase + j]
+        dy = (p >> 14) & 0x7
+        dx = p & 0x7f
+        win = win_ref[slot]                                    # [40, 256]
+        rows = pltpu.roll(win, (_WIN_H - dy) % _WIN_H, axis=0)
+        rolled = pltpu.roll(rows, (_WIN_W - dx) % _WIN_W, axis=1)
+        if batched:
+            out_ref[0, j, :, :] = rolled[:_P32, :_P32]
+        else:
+            out_ref[j, :, :] = rolled[:_P32, :_P32]
+
+        @pl.when(j + _RING < chunk)
+        def _():
+            start(j + _RING)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+def _patch_offsets(xy, h, w, kp):
+    """Aligned window origin + in-window offset for each keypoint, packed
+    into one int32 `[y0/8 : dy(3) : x0/128(7) : dx(7)]` (good to 64k-row,
+    16k-col images), padded to ``kp`` entries (padding gathers window 0 —
+    garbage patches for slots the caller's validity mask already
+    excludes)."""
+    xi = xy[:, 0].astype(jnp.int32)
+    yi = xy[:, 1].astype(jnp.int32)
+    x0 = jnp.clip(xi - _PCENTER, 0, w - _P32)
+    y0 = jnp.clip(yi - _PCENTER, 0, h - _P32)
+    xa = x0 >> 7
+    ya = y0 >> 3
+    packed = (ya << 17) | ((y0 - (ya << 3)) << 14) | (xa << 7) \
+        | (x0 - (xa << 7))
+    return jnp.pad(packed, ((0, kp - xy.shape[0]),))
+
+
+def _patch_pad_image(img, h, w):
+    hp = -(-(h + 8) // 8) * 8                      # y0a + 40 <= hp
+    wp = ((w - _P32) // 128 + 2) * 128             # x0a + 256 <= wp
+    return jnp.pad(img, ((0, hp - h), (0, wp - w)))
+
+
+def _patch_call_single(img, xy, chunk, interpret):
+    h, w = img.shape
+    k = xy.shape[0]
+    kp = -(-k // chunk) * chunk
+    packed = _patch_offsets(xy, h, w, kp)
+    out = pl.pallas_call(
+        functools.partial(_patch_kernel, chunk=chunk, total=kp,
+                          batched=False),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(kp // chunk,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((chunk, _P32, _P32),
+                                   lambda c, *refs: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_RING, _WIN_H, _WIN_W), img.dtype),
+                pltpu.SemaphoreType.DMA((_RING,)),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((kp, _P32, _P32), img.dtype),
+        interpret=interpret,
+    )(packed, _patch_pad_image(img, h, w))
+    return out[:k]
+
+
+# largest packed-offset table one pallas_call may pin in SMEM (1 MB budget;
+# leave headroom for grid bookkeeping). 128k keypoints = 512 KB.
+_SMEM_KP_BUDGET = 128 * 1024
+
+
+def _patch_call_batched(imgs, xys, chunk, interpret):
+    b, h, w = imgs.shape
+    k = xys.shape[1]
+    kp = -(-k // chunk) * chunk
+    padded = jax.vmap(lambda im: _patch_pad_image(im, h, w))(imgs)
+    packed = jax.vmap(lambda xy: _patch_offsets(xy, h, w, kp))(xys)
+
+    def call(pk, ims):
+        gb = ims.shape[0]
+        return pl.pallas_call(
+            functools.partial(_patch_kernel, chunk=chunk, total=kp,
+                              batched=True),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(gb, kp // chunk),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec((1, chunk, _P32, _P32),
+                                       lambda bi, c, *refs: (bi, c, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((_RING, _WIN_H, _WIN_W), ims.dtype),
+                    pltpu.SemaphoreType.DMA((_RING,)),
+                ]),
+            out_shape=jax.ShapeDtypeStruct((gb, kp, _P32, _P32), ims.dtype),
+            interpret=interpret,
+        )(pk.reshape(-1), ims)
+
+    group = max(1, _SMEM_KP_BUDGET // kp)
+    if b <= group:
+        out = call(packed, padded)
+    else:  # split the batch so each call's SMEM table stays in budget
+        parts = [call(packed[s:s + group], padded[s:s + group])
+                 for s in range(0, b, group)]
+        out = jnp.concatenate(parts, axis=0)
+    return out[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def extract_patches_pallas(img: jax.Array, xy: jax.Array, chunk: int = 128,
+                           interpret: bool = False) -> jax.Array:
+    """[K, 32, 32] float32 patches centered (at the nominal (15, 15)) on
+    integer keypoint positions — value-identical to
+    :func:`slam_loop_closing_tpu.ops.orb.extract_patches` for interior
+    keypoints, ~4x faster on v5e (DMA latency hidden instead of exposed
+    per keypoint).
+
+    vmap-safe via a grid-batched variant (pallas_call over ANY-space
+    inputs cannot be vmapped)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(im, pts):
+        return _patch_call_single(im, pts, chunk, interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, ims, ptss):
+        del axis_size, in_batched
+        return _patch_call_batched(ims, ptss, chunk, interpret), True
+
+    return run(img, xy)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 

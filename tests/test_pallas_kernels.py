@@ -126,3 +126,27 @@ class TestMotionSupportKernel:
                                                    30.0, 7.0, tile_m=64,
                                                    interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class TestPatchGatherKernel:
+    def test_matches_xla_gather(self, rng):
+        import jax
+
+        from slam_loop_closing_tpu.ops import orb
+
+        img = jnp.asarray(rng.random((96, 300)), jnp.float32)
+        k = 130  # crosses one 128-keypoint grid chunk
+        xy = jnp.asarray(
+            np.stack([rng.integers(19, 300 - 19, k),
+                      rng.integers(19, 96 - 19, k)], -1), jnp.float32)
+        ref = orb.extract_patches(img, xy)[0]
+        got = pallas_kernels.extract_patches_pallas(img, xy, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        # vmapped (grid-batched variant)
+        imgs = jnp.stack([img, img[::-1]])
+        xys = jnp.stack([xy, xy])
+        refb = jax.vmap(lambda im, p: orb.extract_patches(im, p)[0])(imgs, xys)
+        gotb = jax.vmap(lambda im, p: pallas_kernels.extract_patches_pallas(
+            im, p, interpret=True))(imgs, xys)
+        np.testing.assert_array_equal(np.asarray(gotb), np.asarray(refb))
