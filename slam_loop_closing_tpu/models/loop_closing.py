@@ -57,26 +57,79 @@ class LoopCandidate:
 @dataclasses.dataclass
 class Frame:
     """Mirror of the reference's ``Frame`` (loop_closing.hpp:12-19), with the
-    cv::Mat members replaced by numpy/JAX arrays."""
+    cv::Mat members replaced by numpy/JAX arrays. Array members may be
+    device-resident (``np.asarray`` converts on use): eagerly mirroring every
+    frame to host cost ~4 blocking round trips per ``process_frame``."""
 
     id: int
-    image: np.ndarray                 # [H, W] float32 grayscale (host copy)
+    image: np.ndarray                 # [H, W] grayscale, uint8 or float
     keypoints_xy: np.ndarray          # [N, 2] (padded)
     keypoints_valid: np.ndarray       # [N] bool
     descriptors: np.ndarray           # [N, 8] uint32 packed
     pose: np.ndarray                  # [4, 4] world->camera
     points3d: np.ndarray              # [M, 3] triangulated points (variable)
 
+    def image_f32(self) -> np.ndarray:
+        """Image as host float32 in [0, 1] (the visualization contract)."""
+        img = np.asarray(self.image)
+        return img.astype(np.float32) / (255.0 if img.dtype == np.uint8
+                                         else 1.0)
+
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _db_insert(db_signed, db_valid, db_xy, db_nfeat, idx, signed, valid, xy,
-               nfeat):
+def _db_insert(db_signed, db_valid, db_xy, db_nfeat, idx, signed, valid, xy):
     """One-row insert into the device frame database with BUFFER DONATION:
     without donation each ``.at[idx].set`` rewrites the whole
     [max_frames, N, 256] array (~260 MB at defaults) per frame; donated, XLA
-    aliases input and output buffers and updates the row in place."""
+    aliases input and output buffers and updates the row in place. The
+    per-frame feature count is reduced on device (a host ``int(sum(valid))``
+    would cost one blocking round trip per frame on this runtime)."""
+    nfeat = jnp.sum(valid.astype(jnp.int32))
     return (db_signed.at[idx].set(signed), db_valid.at[idx].set(valid),
             db_xy.at[idx].set(xy), db_nfeat.at[idx].set(nfeat))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "cfg", "radius", "tau"))
+def _pair_geometry(signed1, valid1, xy1, signed2, valid2, xy2, K, key,
+                   scale, cfg, radius, tau):
+    """Version-A per-frame geometry, fused into ONE device program: BF
+    Hamming 2x-min matching (README.md:116-117), PROSAC essential-RANSAC +
+    recoverPose (README.md:128-132) and two-view triangulation with the
+    behind-camera / >100-unit gates (README.md:134-138).
+
+    The eager composition this replaces dispatched every primitive
+    separately — at this runtime's ~100 ms dispatch/readback round trip the
+    per-frame API paid seconds per frame in pure host<->device latency.
+    Returns fixed-shape arrays; the host reads them back in one batched
+    ``device_get`` and applies the accept gates."""
+    m = matching.nn_matches_2xmin(signed1, valid1, signed2, valid2, scale)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    xy2m = xy2[m.idx]
+    x1 = (xy1 - jnp.stack([cx, cy])) / jnp.stack([fx, fy])
+    x2 = (xy2m - jnp.stack([cx, cy])) / jnp.stack([fx, fy])
+    focal = (fx + fy) * 0.5
+    # PROSAC quality (single definition: matching.prosac_quality); argument
+    # order mirrors estimate_pose's eager path.
+    quality = matching.prosac_quality(x2, x1, m, radius, tau)
+    res = ransac_ops.estimate_essential_ransac(
+        x1, x2, m.mask, key, focal, cfg, quality=quality)
+    eye, zero = jnp.eye(3), jnp.zeros(3)
+    X = epipolar.triangulate_dlt(eye, zero, res.R, res.t, x1, x2)
+    z1 = epipolar.depths(eye, zero, X)
+    z2 = epipolar.depths(res.R, res.t, X)
+    keep = (m.mask & (z1 > 0) & (z2 > 0)
+            & (jnp.linalg.norm(X, axis=-1) < 100.0))
+    return m.count, res.R, res.t, res.ok, X, keep
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_single(img, cfg):
+    """Single-frame ORB front-end as ONE device program (the eager
+    composition paid a dispatch round trip per stage on this runtime)."""
+    feats = orb.detect_and_describe_batch(_ship_frames(img)[None], cfg)
+    return jax.tree.map(lambda a: a[0], feats)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
@@ -122,10 +175,17 @@ class LoopClosingSystem:
         self.config = config
         cam = self.config.camera
         self.K = jnp.asarray(cam.K, jnp.float32)
+        # PROSAC motion-coherence gates in normalized units (static jit args;
+        # computed from host config floats — reading them off self.K would
+        # cost a device round trip per frame)
+        self._focal = 0.5 * (cam.fx + cam.fy)
+        mc = self.config.match
+        w_est = 2.0 * cam.cx
+        self._radius = max(mc.motion_radius_frac * w_est, 24.0) / self._focal
+        self._tau = max(mc.motion_tau_frac * w_est, 8.0) / self._focal
         self.max_frames = max_frames
         self.log = log
         n = self.config.orb.num_features
-        self._pattern = orb.brief_matrices(self.config.orb)
         # Device-side frame database (functional updates via .at[]).
         self._db_signed = jnp.zeros((max_frames, n, 256), jnp.int8)
         self._db_valid = jnp.zeros((max_frames, n), bool)
@@ -139,9 +199,10 @@ class LoopClosingSystem:
     # -- Version-A API (loop_closing.hpp:34-66) ----------------------------
 
     def detect_features(self, image: np.ndarray) -> orb.OrbFeatures:
-        """ORB detection (hpp:37: detectFeatures)."""
-        img = _ship_frames(image)
-        return orb.detect_and_describe(img, self.config.orb, self._pattern)
+        """ORB detection (hpp:37: detectFeatures) — one jitted program
+        (normalize + pyramid + FAST + rBRIEF); the uint8 frame ships raw as
+        the jit argument and converts on device."""
+        return _detect_single(jnp.asarray(image), self.config.orb)
 
     def match_features(self, feats1: orb.OrbFeatures,
                        feats2: orb.OrbFeatures) -> matching.Matches:
@@ -156,15 +217,10 @@ class LoopClosingSystem:
         Returns (R, t, ok) — ok False below 8 correspondences/10 inliers."""
         x1, x2, mask = self._matched_normalized(feats1, feats2, m)
         self._rng, key = jax.random.split(self._rng)
-        focal = float(self.K[0, 0] + self.K[1, 1]) * 0.5
         # PROSAC quality (single definition: matching.prosac_quality)
-        mc = self.config.match
-        w_est = 2.0 * float(self.K[0, 2])
-        quality = matching.prosac_quality(
-            x2, x1, m, max(mc.motion_radius_frac * w_est, 24.0) / focal,
-            max(mc.motion_tau_frac * w_est, 8.0) / focal)
+        quality = matching.prosac_quality(x2, x1, m, self._radius, self._tau)
         res = ransac_ops.estimate_essential_ransac(
-            x1, x2, mask, key, focal, self.config.ransac,
+            x1, x2, mask, key, self._focal, self.config.ransac,
             quality=quality)
         return res.R, res.t, bool(res.ok)
 
@@ -189,34 +245,39 @@ class LoopClosingSystem:
             raise ValueError(f"max_frames={self.max_frames} exceeded")
         fid = idx if frame_id is None else frame_id
         feats = self.detect_features(image)
-        nfeat = int(jnp.sum(feats.keypoints.valid))
+
+        # Enqueue the donated in-place database insert FIRST — everything
+        # below is async device work plus one batched readback at the end.
+        (self._db_signed, self._db_valid, self._db_xy,
+         self._db_nfeat) = _db_insert(
+            self._db_signed, self._db_valid, self._db_xy, self._db_nfeat,
+            jnp.asarray(idx, jnp.int32), feats.signed, feats.keypoints.valid,
+            feats.keypoints.xy)
+        self._frame_ids.append(fid)
 
         pose = np.eye(4)
         points3d = np.zeros((0, 3), np.float32)
         if idx > 0:
             prev = self._features_of(idx - 1)
-            m = self.match_features(feats, prev)
-            if int(m.count) >= self.config.ransac.min_points:
-                R, t, ok = self.estimate_pose(feats, prev, m)
-                if ok:
-                    pose = np.eye(4)
-                    pose[:3, :3] = np.asarray(R)
-                    pose[:3, 3] = np.asarray(t)
-                    points3d = self.triangulate_points(feats, prev, m, R, t)
+            self._rng, key = jax.random.split(self._rng)
+            count, R, t, ok, X, keep = jax.device_get(_pair_geometry(
+                feats.signed, feats.keypoints.valid, feats.keypoints.xy,
+                prev.signed, prev.keypoints.valid, prev.keypoints.xy,
+                self.K, key, scale=self.config.match.hamming_filter_scale,
+                cfg=self.config.ransac, radius=self._radius, tau=self._tau))
+            if int(count) >= self.config.ransac.min_points and bool(ok):
+                pose = np.eye(4)
+                pose[:3, :3] = R
+                pose[:3, 3] = t
+                points3d = X[keep]
 
-        # Insert into the device database (donated in-place row write).
-        (self._db_signed, self._db_valid, self._db_xy,
-         self._db_nfeat) = _db_insert(
-            self._db_signed, self._db_valid, self._db_xy, self._db_nfeat,
-            jnp.asarray(idx, jnp.int32), feats.signed, feats.keypoints.valid,
-            feats.keypoints.xy, jnp.asarray(nfeat, jnp.int32))
-        self._frame_ids.append(fid)
-        host_scale = 255.0 if image.dtype == np.uint8 else 1.0
+        # Host mirror keeps DEVICE handles (np.asarray on use): eager
+        # per-array readbacks cost ~100 ms each on this runtime.
         self.frames.append(Frame(
-            id=fid, image=np.asarray(image, np.float32) / host_scale,
-            keypoints_xy=np.asarray(feats.keypoints.xy),
-            keypoints_valid=np.asarray(feats.keypoints.valid),
-            descriptors=np.asarray(feats.descriptors),
+            id=fid, image=image,
+            keypoints_xy=feats.keypoints.xy,
+            keypoints_valid=feats.keypoints.valid,
+            descriptors=feats.descriptors,
             pose=pose, points3d=points3d))
 
         return self.detect_loops(idx)
@@ -235,12 +296,10 @@ class LoopClosingSystem:
         nb = min(nb, self.max_frames)
         positions = jnp.arange(nb)
         frame_mask = positions <= idx - cfg.min_loop_gap
-        counts, sims = _loop_scores(
+        counts, sims = jax.device_get(_loop_scores(
             self._db_signed[idx], self._db_nfeat[idx], self._db_signed[:nb],
             self._db_valid[:nb], self._db_nfeat[:nb], frame_mask,
-            self.config.match.hamming_filter_scale)
-        counts = np.asarray(counts)
-        sims = np.asarray(sims)
+            self.config.match.hamming_filter_scale))
         hits = np.flatnonzero((sims > cfg.loop_threshold)
                               & (counts >= cfg.min_matches))
         new_loops = []
@@ -257,17 +316,18 @@ class LoopClosingSystem:
                      f"({cand.num_matches} matches, similarity "
                      f"{cand.similarity_score:.4f})")
         # On loop: re-match and re-triangulate against the matched frame
-        # (README.md:101-102), refreshing this frame's 3D points.
+        # (README.md:101-102), refreshing this frame's 3D points — the same
+        # fused one-program geometry as the per-frame step.
         if new_loops and idx < len(self.frames):
             j = self._frame_ids.index(new_loops[0].matched_frame_id)
-            fi = self._features_of(idx)
-            fj = self._features_of(j)
-            m = self.match_features(fi, fj)
-            if int(m.count) >= self.config.ransac.min_points:
-                R, t, ok = self.estimate_pose(fi, fj, m)
-                if ok:
-                    self.frames[idx].points3d = self.triangulate_points(
-                        fi, fj, m, R, t)
+            self._rng, key = jax.random.split(self._rng)
+            count, _R, _t, ok, X, keep = jax.device_get(_pair_geometry(
+                self._db_signed[idx], self._db_valid[idx], self._db_xy[idx],
+                self._db_signed[j], self._db_valid[j], self._db_xy[j],
+                self.K, key, scale=self.config.match.hamming_filter_scale,
+                cfg=self.config.ransac, radius=self._radius, tau=self._tau))
+            if int(count) >= self.config.ransac.min_points and bool(ok):
+                self.frames[idx].points3d = X[keep]
         return new_loops
 
     def get_frames(self) -> list[Frame]:
@@ -283,7 +343,7 @@ class LoopClosingSystem:
         fi, fj = self._features_of(i), self._features_of(j)
         m = self.match_features(fi, fj)
         return io_utils.save_match_visualization(
-            path, self.frames[i].image, self.frames[j].image,
+            path, self.frames[i].image_f32(), self.frames[j].image_f32(),
             np.asarray(fi.keypoints.xy), np.asarray(fj.keypoints.xy),
             np.asarray(m.mask), np.asarray(m.idx))
 
@@ -354,13 +414,11 @@ class LoopClosingSystem:
         self._db_xy = self._db_xy.at[:b].set(feats.keypoints.xy)
         self._db_nfeat = self._db_nfeat.at[:b].set(nfeat)
         self._frame_ids = list(ids)
-        host_scale = 255.0 if frames.dtype == np.uint8 else 1.0
         self.frames = [
-            Frame(id=ids[i],
-                  image=np.asarray(frames[i], np.float32) / host_scale,
-                  keypoints_xy=np.asarray(feats.keypoints.xy[i]),
-                  keypoints_valid=np.asarray(feats.keypoints.valid[i]),
-                  descriptors=np.asarray(feats.descriptors[i]),
+            Frame(id=ids[i], image=frames[i],
+                  keypoints_xy=feats.keypoints.xy[i],
+                  keypoints_valid=feats.keypoints.valid[i],
+                  descriptors=feats.descriptors[i],
                   pose=np.eye(4), points3d=np.zeros((0, 3), np.float32))
             for i in range(b)]
         return new_loops
