@@ -502,14 +502,41 @@ class SfMPipeline:
         # device-resident uint8 array normalizes identically to a host one)
         from slam_loop_closing_tpu.ops.image import ship_frames
 
-        fr = ship_frames(frames)
         if self.config.detector == "sift":
             from slam_loop_closing_tpu.ops import sift as sift_ops
 
-            f = sift_ops.detect_and_describe_batch(fr, self.config.sift)
+            chunk = self.config.sift.batch_chunk
+            detect = functools.partial(sift_ops.detect_and_describe_batch,
+                                       cfg=self.config.sift)
+        else:
+            chunk = 8
+            detect = functools.partial(orb.detect_and_describe_batch,
+                                       cfg=self.config.orb)
+        b = frames.shape[0]
+        if isinstance(frames, np.ndarray) and b > chunk:
+            # Pipelined upload: the host->device link is a ~50 MB/s tunnel
+            # (96 uint8 1080p frames = ~4 s), and a single
+            # jnp.asarray(frames) blocks until the WHOLE video has shipped
+            # before the first front-end dispatch. Shipping chunk k+1 while
+            # the (async-dispatched) front-end computes chunk k hides the
+            # entire transfer behind compute (per-chunk transfer < per-chunk
+            # front-end time at every supported config).
+            pad = (-b) % chunk
+            if pad:
+                frames = np.concatenate(
+                    [frames, np.zeros((pad, *frames.shape[1:]),
+                                      frames.dtype)])
+            outs = []
+            for i in range(0, frames.shape[0], chunk):
+                dev = jax.device_put(frames[i:i + chunk])
+                outs.append(detect(ship_frames(dev)))
+            f = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, 0)[:b], *outs)
+        else:
+            f = detect(ship_frames(frames))
+        if self.config.detector == "sift":
             desc, xy, valid = f.descriptors, f.xy, f.valid
         else:
-            f = orb.detect_and_describe_batch(fr, self.config.orb)
             desc, xy, valid = f.signed, f.keypoints.xy, f.keypoints.valid
         und = jax.vmap(camera_ops.undistort_points_batch,
                        in_axes=(None, None, 0))(self.K, self.dist, xy)
@@ -631,11 +658,15 @@ class SfMPipeline:
         # out as chunk-vmapped batched RANSAC. The scoring pass returns only
         # the 3-counter table (one small readback total); the winner is
         # re-verified once, with its original key, to fetch the geometry.
-        # The candidate axis is padded to a power of two so the jit cache
-        # holds a handful of shapes, not one per candidate count.
+        # The candidate axis is padded to a bucket so the jit cache holds a
+        # handful of shapes, not one per candidate count. Buckets are
+        # power-of-two up to 256, then multiples of 256: at SIFT-4000/1080p
+        # every gap pair qualifies (~1176 candidates) and verification costs
+        # ~2 ms/candidate — a pure power-of-two pad (1176 -> 2048) wasted
+        # ~1.8 s per run for cache granularity nothing needs.
         cand = sorted(cand, key=lambda i: -counts[i])
         c_real = len(cand)
-        cb = self._bucket(c_real, 1 << 20, floor=32)
+        cb = self._bucket_fine(c_real, 1 << 20, floor=32)
         padded = cand + [cand[0]] * (cb - c_real)
         cq = jnp.asarray([pairs[i][0] for i in padded], jnp.int32)
         ct = jnp.asarray([pairs[i][1] for i in padded], jnp.int32)
@@ -787,6 +818,18 @@ class SfMPipeline:
             self.log(f"\nLast keyframe pose (keyframe {k - 1}, "
                      f"frame {int(state.kf_frame[k - 1])}):")
             self.log(f"  Camera center: [{C[0]:g}, {C[1]:g}, {C[2]:g}]")
+
+    @staticmethod
+    def _bucket_fine(n: int, cap: int, floor: int = 32,
+                     step: int = 256) -> int:
+        """Power-of-two buckets below ``step``, multiples of ``step`` above —
+        for axes whose per-slot cost is high enough (~ms) that power-of-two
+        padding wastes more device time than the extra compile cache entries
+        cost (each distinct bucket is one compile, amortized by the
+        persistent compilation cache)."""
+        if n <= step:
+            return SfMPipeline._bucket(n, cap, floor)
+        return min(-(-n // step) * step, cap)
 
     @staticmethod
     def _bucket(n: int, cap: int, floor: int = 4096) -> int:
