@@ -671,6 +671,155 @@ def extract_patches_pallas(img: jax.Array, xy: jax.Array, chunk: int = 128,
 
 
 # ---------------------------------------------------------------------------
+# fused Gaussian stack: a whole SIFT octave's blur chain in one VMEM pass
+# ---------------------------------------------------------------------------
+
+def _gauss_weights(sigmas: tuple[float, ...]):
+    """Per-level 1-D kernel taps as PYTHON floats (compile-time constants in
+    the kernel body; jnp arrays would be captured as pallas consts). Mirrors
+    :func:`..image.gaussian_kernel1d` (float32 throughout)."""
+    import numpy as np
+
+    out = []
+    for sig in sigmas:
+        r = max(1, int(3.0 * sig + 0.5))
+        x = np.arange(-r, r + 1, dtype=np.float32)
+        k = np.exp((-0.5 * (x / np.float32(sig)) ** 2).astype(np.float32))
+        k = (k / k.sum()).astype(np.float32)
+        out.append(tuple(float(v) for v in k))
+    return tuple(out)
+
+
+def _gauss_stack_kernel(img_hbm, *refs, kernels, rv, lpad, tile_h, w, wp,
+                        batched):
+    """One row-band of the incremental blur chain, fully in VMEM.
+
+    The band (+ cumulative halo ``rv`` on each side) is DMA'd in once; each
+    level's vertical pass uses static sublane slices (the valid region
+    shrinks by the level radius), the horizontal pass uses lane rolls whose
+    wraparound lands in the ``lpad``-wide horizontal halo that the reflect
+    prepad provides; the band's clean center is written per level. HBM
+    traffic: 1 read + num_levels writes of the band, vs 4 full-image passes
+    per level (pad copy + write per axis) for the chained XLA blurs."""
+    *out_refs, win_ref, sem = refs
+    if batched:
+        bi = pl.program_id(0)
+        i = pl.program_id(1)
+        src = img_hbm.at[bi, pl.ds(i * tile_h, tile_h + 2 * rv), :]
+    else:
+        i = pl.program_id(0)
+        src = img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * rv), :]
+    copy = pltpu.make_async_copy(src, win_ref, sem)
+    copy.start()
+    copy.wait()
+    cur = win_ref[...]
+    consumed = 0
+    for lvl, taps in enumerate(kernels):
+        r = (len(taps) - 1) // 2
+        hl = cur.shape[0] - 2 * r
+        nxt = taps[0] * cur[0:hl]
+        for j in range(1, 2 * r + 1):
+            nxt = nxt + taps[j] * cur[j:j + hl]
+        acc = taps[0] * pltpu.roll(nxt, r % wp, axis=1)
+        for j in range(1, 2 * r + 1):
+            acc = acc + taps[j] * pltpu.roll(nxt, (wp + r - j) % wp, axis=1)
+        cur = acc
+        consumed += r
+        ctr = rv - consumed
+        band = cur[ctr:ctr + tile_h, lpad:lpad + w]
+        if batched:
+            out_refs[lvl][0] = band
+        else:
+            out_refs[lvl][...] = band
+
+
+def _gauss_prepad(img, rv, lpad, tile_h, h):
+    hp = (-h) % tile_h
+    w = img.shape[-1]
+    wtail = (-(w + 2 * lpad)) % 128
+    nb = ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, nb + ((rv, rv), (rv, rv)), mode="reflect")
+    return jnp.pad(p, nb + ((0, hp), (lpad - rv, lpad - rv + wtail)))
+
+
+def gauss_stack_halo(sigmas: tuple[float, ...]) -> int:
+    """Reflect-pad halo (rows/cols each side) the fused stack kernel needs;
+    images must be strictly larger than this in both dimensions."""
+    raw = sum((len(t) - 1) // 2 for t in _gauss_weights(sigmas))
+    return -(-raw // 4) * 4
+
+
+def _gauss_call(img, sigmas, tile_h, interpret):
+    batched = img.ndim == 3
+    h, w = img.shape[-2:]
+    kernels = _gauss_weights(sigmas)
+    rv = gauss_stack_halo(sigmas)  # 2*rv mult of 8: DMA rows stay aligned
+    assert rv < min(h, w), "halo exceeds image (octave too small for pallas)"
+    lpad = -(-rv // 128) * 128  # 128-aligned horizontal halo
+    padded = _gauss_prepad(img.astype(jnp.float32), rv, lpad, tile_h, h)
+    wp = padded.shape[-1]
+    hq = padded.shape[-2] - 2 * rv  # h rounded up to tile_h
+    tiles = hq // tile_h
+    n_lvl = len(kernels)
+    kern = functools.partial(
+        _gauss_stack_kernel, kernels=kernels, rv=rv, lpad=lpad,
+        tile_h=tile_h, w=w, wp=wp, batched=batched)
+    if batched:
+        b = img.shape[0]
+        grid = (b, tiles)
+        out_specs = [pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
+                                  memory_space=pltpu.VMEM)] * n_lvl
+        out_shape = [jax.ShapeDtypeStruct((b, hq, w), jnp.float32)] * n_lvl
+    else:
+        grid = (tiles,)
+        out_specs = [pl.BlockSpec((tile_h, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)] * n_lvl
+        out_shape = [jax.ShapeDtypeStruct((hq, w), jnp.float32)] * n_lvl
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * rv, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    outs = [o[..., :h, :] for o in outs]
+    return jnp.stack(outs, axis=-3)
+
+
+@functools.partial(jax.jit, static_argnames=("sigmas", "tile_h", "interpret"))
+def gauss_stack_pallas(img: jax.Array, sigmas: tuple[float, ...],
+                       tile_h: int = 64, interpret: bool = False) -> jax.Array:
+    """Incremental Gaussian blur chain [H, W] -> [num_levels, H, W]: level 0
+    is blur(img, sigmas[0]), level l is blur(level l-1, sigmas[l]) — the
+    SIFT octave stack (``sift._gaussian_stack``), fused so intermediate
+    levels never round-trip HBM. Matches the chained
+    :func:`..image.gaussian_blur` to float tolerance (identical taps and
+    accumulation order in the interior; the once-reflected border is
+    symmetric under symmetric kernels, so boundary values agree too, up to
+    tap-order rounding).
+
+    vmap-safe via a grid-batched variant (pallas_call over ANY-space inputs
+    cannot be vmapped)."""
+    assert tile_h % 8 == 0, "tile_h must be sublane-aligned"
+
+    @jax.custom_batching.custom_vmap
+    def run(x):
+        return _gauss_call(x, sigmas, tile_h, interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, xs):
+        del axis_size, in_batched
+        return _gauss_call(xs, sigmas, tile_h, interpret), True
+
+    return run(img)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 

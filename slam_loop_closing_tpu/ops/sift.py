@@ -42,63 +42,82 @@ class SiftFeatures(NamedTuple):
     descriptors: jax.Array  # [K, 128] float32, L2-normalized
 
 
-def _gaussian_stack(img: jax.Array, num_scales: int, sigma0: float):
-    """One octave's Gaussian stack [S+3, H, W] with geometric sigma steps.
-    Sigmas are static Python floats (gaussian_blur kernel sizes must be
-    compile-time constants)."""
+def _chain_sigmas(num_scales: int, sigma0: float) -> tuple[float, ...]:
+    """Incremental blur sigmas for one octave's Gaussian chain (static
+    Python floats: blur kernel sizes must be compile-time constants)."""
     import math
 
     k = 2.0 ** (1.0 / num_scales)
-    levels = [image_ops.gaussian_blur(img, sigma0)]
+    out = [sigma0]
     sig_prev = sigma0
     for s in range(1, num_scales + 3):
         sig_total = sigma0 * (k ** s)
-        sig_extra = math.sqrt(max(sig_total ** 2 - sig_prev ** 2, 1e-6))
-        levels.append(image_ops.gaussian_blur(levels[-1], sig_extra))
+        out.append(math.sqrt(max(sig_total ** 2 - sig_prev ** 2, 1e-6)))
         sig_prev = sig_total
+    return tuple(out)
+
+
+def _gaussian_stack(img: jax.Array, num_scales: int, sigma0: float):
+    """One octave's Gaussian stack [S+3, H, W] with geometric sigma steps.
+
+    On TPU the whole chain runs as one fused Pallas pass
+    (:func:`..pallas_kernels.gauss_stack_pallas` — intermediate levels never
+    round-trip HBM); elsewhere, chained separable XLA blurs."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    sig = _chain_sigmas(num_scales, sigma0)
+    if (pallas_kernels.use_pallas()
+            and min(img.shape) > pallas_kernels.gauss_stack_halo(sig)):
+        return pallas_kernels.gauss_stack_pallas(img, sig)
+    levels = [image_ops.gaussian_blur(img, sig[0])]
+    for s_extra in sig[1:]:
+        levels.append(image_ops.gaussian_blur(levels[-1], s_extra))
     return jnp.stack(levels)
 
 
 def _extrema_response(dog: jax.Array) -> jax.Array:
     """[S+2, H, W] -> response map where a pixel is a 26-neighborhood
-    extremum of the DoG stack (interior scales only), else 0."""
-    s, h, w = dog.shape
+    extremum of the DoG stack (interior scales only), else 0.
 
-    def ring_max_min(x):
-        # 3x3x3 neighborhood max/min excluding center, via shifted slices of
-        # a padded stack (all-parallel; no pixel loops).
-        p = jnp.pad(x, 1, constant_values=-jnp.inf)
-        q = jnp.pad(x, 1, constant_values=jnp.inf)
-        mx = None
-        mn = None
-        for ds in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if ds == 0 and dy == 0 and dx == 0:
-                        continue
-                    a = jax.lax.dynamic_slice(p, (1 + ds, 1 + dy, 1 + dx),
-                                              (s, h, w))
-                    b = jax.lax.dynamic_slice(q, (1 + ds, 1 + dy, 1 + dx),
-                                              (s, h, w))
-                    mx = a if mx is None else jnp.maximum(mx, a)
-                    mn = b if mn is None else jnp.minimum(mn, b)
-        return mx, mn
+    The 26-neighbor extreme (center excluded) is built from SEPARABLE
+    shifted-slice passes — 8 elementwise reductions instead of 26 shifted
+    reads per comparator. max/min are exact, so this is bitwise identical
+    to comparing against each neighbor individually. Interior-only scale
+    planes are assembled by concatenation (an ``.at[0].set`` on the stack
+    would copy all of it)."""
 
-    nb_max, nb_min = ring_max_min(dog)
-    is_max = dog > nb_max
-    is_min = dog < nb_min
-    resp = jnp.where(is_max | is_min, jnp.abs(dog), 0.0)
-    # interior scales only
-    resp = resp.at[0].set(0.0).at[-1].set(0.0)
-    return resp
+    def nb(x, fill):
+        op = jnp.maximum if fill == -jnp.inf else jnp.minimum
+        px = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), constant_values=fill)
+        row3 = op(op(px[:, :, :-2], px[:, :, 1:-1]), px[:, :, 2:])
+        py = jnp.pad(row3, ((0, 0), (1, 1), (0, 0)), constant_values=fill)
+        full9 = op(op(py[:, :-2, :], py[:, 1:-1, :]), py[:, 2:, :])
+        # center plane, center pixel excluded: the two neighbor rows' 3-tap
+        # maxes plus the center row's left/right pixels
+        excl = op(op(py[:, :-2, :], py[:, 2:, :]),
+                  op(px[:, :, :-2], px[:, :, 2:]))
+        # interior scales only: planes s-1 / s+1 contribute their full 3x3
+        return op(op(full9[:-2], full9[2:]), excl[1:-1])
+
+    inner = dog[1:-1]
+    is_max = inner > nb(dog, -jnp.inf)
+    is_min = inner < nb(dog, jnp.inf)
+    resp_in = jnp.where(is_max | is_min, jnp.abs(inner), 0.0)
+    zero = jnp.zeros_like(dog[:1])
+    return jnp.concatenate([zero, resp_in, zero])
 
 
-def _edge_mask(dog_level: jax.Array, edge_threshold: float) -> jax.Array:
+def _edge_mask(dog_levels: jax.Array, edge_threshold: float) -> jax.Array:
     """Reject edge responses: principal-curvature ratio test on the 2x2
-    spatial Hessian (tr^2/det < (r+1)^2/r)."""
-    gy, gx = jnp.gradient(dog_level)
-    gyy, _ = jnp.gradient(gy)
-    gxy, gxx = jnp.gradient(gx)
+    spatial Hessian (tr^2/det < (r+1)^2/r). Operates on the whole
+    [L, H, W] interior-level stack in one pass (per-axis ``jnp.gradient``
+    never mixes the level axis, so values match the per-level form
+    bitwise)."""
+    gy = jnp.gradient(dog_levels, axis=1)
+    gx = jnp.gradient(dog_levels, axis=2)
+    gyy = jnp.gradient(gy, axis=1)
+    gxy = jnp.gradient(gx, axis=1)
+    gxx = jnp.gradient(gx, axis=2)
     tr = gxx + gyy
     det = gxx * gyy - gxy * gxy
     r = edge_threshold
@@ -117,11 +136,11 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
     resp = _extrema_response(dog)
     # contrast gate (cv uses contrast_threshold/scales at the candidate)
     resp = jnp.where(jnp.abs(dog) >= cfg.contrast_threshold / s, resp, 0.0)
-    # edge gate per interior level
-    for lvl in range(1, s + 1):
-        resp = resp.at[lvl].set(
-            jnp.where(_edge_mask(dog[lvl], cfg.edge_threshold),
-                      resp[lvl], 0.0))
+    # edge gate, all interior levels in one pass (an ``.at[lvl].set`` loop
+    # would copy the whole stack once per level)
+    ok = _edge_mask(dog[1:s + 1], cfg.edge_threshold)
+    resp = jnp.concatenate(
+        [resp[:1], jnp.where(ok, resp[1:s + 1], 0.0), resp[s + 1:]])
     h, w = img.shape
     ys = jnp.arange(h)
     xs = jnp.arange(w)
@@ -353,7 +372,9 @@ def detect_and_describe(img: jax.Array,
     octave_img = img
     parts = []
     for o in range(cfg.num_octaves):
-        if budgets[o] > 0 and min(octave_img.shape) >= 32:
+        # the descriptor slices a PATCH x PATCH window, so an octave must be
+        # at least that tall/wide to participate
+        if budgets[o] > 0 and min(octave_img.shape) >= PATCH:
             xy0, sigma, respv, valid, mag, ang, xy_oct = _detect_octave(
                 octave_img, o, budgets[o], cfg)
             theta, desc = _orientation_and_descriptor(

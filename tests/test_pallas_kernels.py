@@ -150,3 +150,35 @@ class TestPatchGatherKernel:
         gotb = jax.vmap(lambda im, p: pallas_kernels.extract_patches_pallas(
             im, p, interpret=True))(imgs, xys)
         np.testing.assert_array_equal(np.asarray(gotb), np.asarray(refb))
+
+
+class TestGaussStackKernel:
+    def test_matches_chained_xla_blurs(self, rng):
+        from slam_loop_closing_tpu.ops import image as image_ops
+        from slam_loop_closing_tpu.ops import sift
+
+        sig = sift._chain_sigmas(3, 1.6)
+        img = jnp.asarray(rng.random((96, 256)), jnp.float32)
+        ref = [image_ops.gaussian_blur(img, sig[0])]
+        for s_extra in sig[1:]:
+            ref.append(image_ops.gaussian_blur(ref[-1], s_extra))
+        ref = np.asarray(jnp.stack(ref))
+        got = np.asarray(pallas_kernels.gauss_stack_pallas(
+            img, sig, interpret=True))
+        # identical taps; the once-reflected border is symmetric under the
+        # symmetric kernels, so agreement is float-tolerance everywhere
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
+    def test_vmapped_matches_single(self, rng):
+        import jax
+
+        from slam_loop_closing_tpu.ops import sift
+
+        sig = sift._chain_sigmas(3, 1.6)
+        imgs = jnp.asarray(rng.random((2, 96, 256)), jnp.float32)
+        gotb = np.asarray(jax.vmap(lambda im: pallas_kernels.gauss_stack_pallas(
+            im, sig, interpret=True))(imgs))
+        for i in range(2):
+            single = np.asarray(pallas_kernels.gauss_stack_pallas(
+                imgs[i], sig, interpret=True))
+            np.testing.assert_allclose(gotb[i], single, atol=1e-6)
