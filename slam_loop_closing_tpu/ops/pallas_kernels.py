@@ -168,13 +168,20 @@ def _hamming_knn2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, idx_ref, d2_ref):
 
 def _l2_knn2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, idx_ref, d2_ref):
     """Query tile [TM, D] float32 vs the full target set [N, D]: squared-L2
-    via the GEMM expansion, top-2 row reduction in VMEM. Distances match
-    matching.l2sq_matrix (f32 accumulation; precision pinned to DEFAULT —
-    the package-global "highest" has no Mosaic lowering here)."""
+    via the GEMM expansion, top-2 row reduction in VMEM.
+
+    The cross-term GEMM runs with bf16 OPERANDS and f32 accumulation: one
+    MXU pass instead of the bf16_3x decomposition an f32 matmul lowers to
+    (~3x on the dominant find_loop cost at SIFT-4000). SIFT descriptors are
+    L2-normalized with entries <= 0.2, so operand rounding perturbs
+    distances well under 1% — far inside the 0.7 ratio-test margin (the
+    TPU contract is matching QUALITY, not bitwise parity; the f32 XLA path
+    in matching.l2sq_matrix is unchanged). Norm terms stay f32."""
     q = q_ref[...]
     t = t_ref[...]
     dots = jax.lax.dot_general(
-        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        q.astype(jnp.bfloat16), t.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)                   # [TM, N]
     nq = jnp.sum(q * q, axis=1, keepdims=True)                # [TM, 1]
