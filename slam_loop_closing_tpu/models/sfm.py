@@ -538,6 +538,17 @@ class SfMPipeline:
             desc, xy, valid = f.descriptors, f.xy, f.valid
         else:
             desc, xy, valid = f.signed, f.keypoints.xy, f.keypoints.valid
+        # Valid-count compaction: pack valid rows first, then slice every
+        # downstream array to a per-run count bucket. SIFT-4000 frames carry
+        # ~1-1.5k valid keypoints on typical footage, so the scan matching
+        # and the loop-search GEMMs otherwise spend >2x their time on zero
+        # rows. One scalar readback (the max count) sequences the front-end
+        # before the scan — which a shape-static scan needs anyway.
+        desc, xy, valid = matching.pack_valid_first(desc, xy, valid)
+        nv = int(jnp.max(jnp.sum(valid, axis=1)))
+        nb = self._bucket_fine(max(nv, 128), desc.shape[1], floor=128,
+                               step=512)
+        desc, xy, valid = desc[:, :nb], xy[:, :nb], valid[:, :nb]
         und = jax.vmap(camera_ops.undistort_points_batch,
                        in_axes=(None, None, 0))(self.K, self.dist, xy)
         fx, fy = self.K[0, 0], self.K[1, 1]
@@ -552,15 +563,12 @@ class SfMPipeline:
         per-frame host dispatch (the fast path; identical math to
         :meth:`run_frontend_and_keyframes`, which keeps the host loop for
         per-frame reference-format logging)."""
-        if self.config.detector == "sift":
-            n = self.config.sift.num_features
-            desc_dim, desc_dtype = 128, jnp.float32
-        else:
-            n = self.config.orb.num_features
-            desc_dim, desc_dtype = 256, jnp.int8
-        state = init_map_state(self.max_keyframes, n, self.max_points,
-                               self.max_obs, desc_dim, desc_dtype)
         desc, valid, und, norm = self._frontend(frames)
+        # capacity = the compacted feature bucket (desc.shape[1]), not the
+        # configured maximum — every [K, N, ...] map array shrinks with it
+        state = init_map_state(self.max_keyframes, desc.shape[1],
+                               self.max_points, self.max_obs,
+                               desc.shape[2], desc.dtype)
         state = _bootstrap(state, und[0], norm[0], valid[0], desc[0],
                            jnp.asarray(0, jnp.int32), self.config)
         b = frames.shape[0]
@@ -580,15 +588,10 @@ class SfMPipeline:
         self.log(f"Total 3D points: {int(state.point_count)}")
 
     def run_frontend_and_keyframes(self, frames: np.ndarray):
-        if self.config.detector == "sift":
-            n = self.config.sift.num_features
-            desc_dim, desc_dtype = 128, jnp.float32
-        else:
-            n = self.config.orb.num_features
-            desc_dim, desc_dtype = 256, jnp.int8
-        state = init_map_state(self.max_keyframes, n, self.max_points,
-                               self.max_obs, desc_dim, desc_dtype)
         desc, valid, und, norm = self._frontend(frames)
+        state = init_map_state(self.max_keyframes, desc.shape[1],
+                               self.max_points, self.max_obs,
+                               desc.shape[2], desc.dtype)
         state = _bootstrap(state, und[0], norm[0], valid[0], desc[0],
                            jnp.asarray(0, jnp.int32), self.config)
         infos = []

@@ -423,6 +423,31 @@ def similarity(counts: jax.Array, nq: jax.Array, nt: jax.Array) -> jax.Array:
     return counts.astype(jnp.float32) / jnp.maximum(denom, 1.0)
 
 
+@jax.jit
+def pack_valid_first(desc: jax.Array, xy: jax.Array,
+                     valid: jax.Array) -> tuple[jax.Array, jax.Array,
+                                                jax.Array]:
+    """Permute each frame's keypoint rows so every valid row comes first
+    (stable within each group), for [B, N, D] / [B, N, 2] / [B, N] inputs.
+
+    Row order carries no meaning downstream — matching, the track table,
+    and all geometry key on row indices consistently — but front-packed
+    validity lets the pipeline slice every descriptor GEMM to a per-run
+    count bucket: a SIFT-4000 frame typically carries only ~1-1.5k valid
+    keypoints, so matching at the padded capacity multiplies >2x zero rows
+    (the reference never pads: cv::Mat descriptor rows are naturally dense,
+    main.cpp:497-556; padding is this framework's fixed-shape contract).
+
+    Descriptor rows move through ``take_along_axis`` (contiguous [D]-row
+    gathers, one per keypoint — cheap next to a single [N, N] matching
+    GEMM); invalid rows keep their all-zero contents, preserving the
+    signed-layout zero-padding invariant."""
+    perm = jnp.argsort(jnp.logical_not(valid), axis=-1, stable=True)
+    return (jnp.take_along_axis(desc, perm[..., None], axis=-2),
+            jnp.take_along_axis(xy, perm[..., None], axis=-2),
+            jnp.take_along_axis(valid, perm, axis=-1))
+
+
 def gather_matched_points(xy_q: jax.Array, xy_t: jax.Array,
                           m: Matches) -> tuple[jax.Array, jax.Array]:
     """``extractMatchedPoints`` equivalent (reference main.cpp:539-556):

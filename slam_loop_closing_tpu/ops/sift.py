@@ -175,7 +175,16 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
         x = (cx * cell + rem % cell).astype(jnp.float32)
     else:
         flat = resp.reshape(-1)
-        vals, idx = jax.lax.top_k(flat, budget)
+        if flat.shape[0] >= (1 << 20):
+            # exact top_k sorts the whole stack (a 1080p octave is ~10M
+            # elements — tens of ms); approx_max_k's TPU bin-reduction is
+            # ~10x faster, and a 0.95-recall selection among near-threshold
+            # DoG responses is well inside the detector's quality-parity
+            # contract (the misses are the weakest responses)
+            vals, idx = jax.lax.approx_max_k(flat, budget,
+                                             recall_target=0.95)
+        else:
+            vals, idx = jax.lax.top_k(flat, budget)
         lvl = idx // (h * w)
         rem = idx % (h * w)
         y = (rem // w).astype(jnp.float32)
