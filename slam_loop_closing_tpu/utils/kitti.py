@@ -67,6 +67,24 @@ def loop_recall(pred_pairs, gt_pairs, tol: int = 5) -> float:
     return hit / len(gt)
 
 
+def loop_precision(pred_pairs, gt_pairs, tol: int = 5) -> float:
+    """Fraction of predicted loop pairs lying within ``tol`` frames (both
+    indices) of some ground-truth pair — the complement of
+    :func:`loop_recall`. Returns 0.0 when there are no predictions."""
+    pred = np.asarray(list(pred_pairs), dtype=np.int64).reshape(-1, 2)
+    if pred.size == 0:
+        return 0.0
+    gt = np.asarray(list(gt_pairs), dtype=np.int64).reshape(-1, 2)
+    if gt.size == 0:
+        return 0.0
+    hit = 0
+    for (i, j) in pred:
+        d = np.abs(gt - [i, j]).max(axis=1)
+        if (d <= tol).any():
+            hit += 1
+    return hit / len(pred)
+
+
 def gt_loop_pairs(poses: np.ndarray, dist_thresh: float = 10.0,
                   min_gap: int = 100) -> list[tuple[int, int]]:
     """Ground-truth loop closures: frame pairs whose camera centers are

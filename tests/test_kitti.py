@@ -45,3 +45,13 @@ def test_loop_recall_tolerance_window():
     assert kitti.loop_recall([(118, 0), (110, 9)], gt, tol=0) == 0.5
     assert kitti.loop_recall([], gt, tol=5) == 0.0
     assert kitti.loop_recall([(1, 2)], [], tol=5) == 0.0
+
+
+def test_loop_precision_tolerance_window():
+    gt = [(118, 0), (119, 1)]
+    # both predictions near a gt pair: full precision
+    assert kitti.loop_precision([(118, 0), (116, 4)], gt, tol=5) == 1.0
+    # one of two predictions is far from any gt pair
+    assert kitti.loop_precision([(118, 0), (60, 9)], gt, tol=5) == 0.5
+    assert kitti.loop_precision([], gt, tol=5) == 0.0
+    assert kitti.loop_precision([(1, 2)], [], tol=5) == 0.0
