@@ -8,9 +8,11 @@ This is the capacity-stress configuration: descriptors are
 routed through the fused Pallas per-pair kernel in device-bounded chunks
 (matching.dense_pair_counts_chunked).
 
-Frames are device-resident before the timed region (same contract as
-bench.py; the host tunnel is an environment artifact). Sync is by forced
-host readback. Prints one JSON line.
+Frames ship to the device as uint8 BEFORE the timed region (same contract
+as bench.py; the ~1 GB upload over this machine's tunnel is an environment
+artifact and is reported separately as ``upload_s`` /
+``fps_with_transfer``). Sync is by forced host readback. Prints one JSON
+line.
 """
 
 from __future__ import annotations
@@ -55,20 +57,29 @@ def main(argv=None):
     print(f"# synthetic: {b} frames {args.height}x{args.width} "
           f"(rendered in {time.perf_counter() - t0:.1f}s)")
 
-    # Front-end in device-sized batches; uint8 on the wire, float on chip.
+    # Ship everything as uint8 once, before the timed region (bench.py's
+    # device-resident contract; the tunnel is an environment artifact).
+    pad = (-b) % args.batch
+    if pad:
+        frames_u8 = np.concatenate(
+            [frames_u8, np.zeros((pad, args.height, args.width), np.uint8)])
+    t0 = time.perf_counter()
+    frames_dev = jax.device_put(jnp.asarray(frames_u8))
+    np.asarray(frames_dev[0, :1, :1])  # sync the transfer
+    t_upload = time.perf_counter() - t0
+
+    # Front-end in device-sized batches; float conversion on chip.
     fe = jax.jit(lambda x: orb.detect_and_describe_batch(
         x.astype(jnp.float32) / 255.0, cfg))
+    fe(frames_dev[:args.batch])  # warm at shape (compile excluded)
     t0 = time.perf_counter()
     s_chunks, v_chunks = [], []
-    for s in range(0, b, args.batch):
-        e = min(s + args.batch, b)
-        chunk = np.zeros((args.batch, args.height, args.width), np.uint8)
-        chunk[: e - s] = frames_u8[s:e]
-        feats = fe(jnp.asarray(chunk))
-        s_chunks.append(feats.signed[: e - s])
-        v_chunks.append(feats.keypoints.valid[: e - s])
-    signed = jnp.concatenate(s_chunks)
-    valid = jnp.concatenate(v_chunks)
+    for s in range(0, b + pad, args.batch):
+        feats = fe(frames_dev[s:s + args.batch])
+        s_chunks.append(feats.signed)
+        v_chunks.append(feats.keypoints.valid)
+    signed = jnp.concatenate(s_chunks)[:b]
+    valid = jnp.concatenate(v_chunks)[:b]
     np.asarray(valid[:1])  # sync
     t_frontend = time.perf_counter() - t0
 
@@ -96,6 +107,8 @@ def main(argv=None):
         "value": round(b / total, 2),
         "unit": "frames/sec",
         "vs_baseline": None,
+        "fps_with_transfer": round(b / (total + t_upload), 2),
+        "upload_s": round(t_upload, 2),
         "frontend_s": round(t_frontend, 2),
         "dense_pairs_s": round(t_pairs, 2),
         "frame_pairs": n_pairs,
