@@ -153,7 +153,18 @@ def select_topk_grid(score: jax.Array, num_features: int, border: int = 19,
     2M-pixel score map costs ~4 ms/frame on v5e; this runs the heavy
     reduction as cheap reshaped maxes). One-per-cell is the same grid
     adaptation OpenCV's ORB applies to spread keypoints spatially.
-    Returns (xy, response, valid) like :func:`select_topk`."""
+    Returns (xy, response, valid) like :func:`select_topk`.
+
+    The per-cell argmax is ONE max-reduction pass: each positive score's
+    int32 bit pattern (monotonic in the float for non-negative values) has
+    its low position bits replaced by the INVERTED in-cell pixel index, so
+    the cell max carries its own argmax — lowest flat index on ties,
+    identical to an explicit iota-min — and the reduction decomposes into
+    two reshaped maxes with NO [hb, cell, wb, cell] transpose (the
+    relayout dominated this stage's cost at 1080p). Responses are re-read
+    exactly from the score map afterwards (one tiny [K] gather), so the
+    low-bit truncation only affects ranking between scores within
+    2^-(23-posbits) relative — far below detector noise."""
     h, w = score.shape
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
@@ -162,23 +173,33 @@ def select_topk_grid(score: jax.Array, num_features: int, border: int = 19,
     ph, pw = (-h) % cell, (-w) % cell
     if ph or pw:
         masked = jnp.pad(masked, ((0, ph), (0, pw)))
-    hb, wb = (h + ph) // cell, (w + pw) // cell
-    cells = masked.reshape(hb, cell, wb, cell).transpose(0, 2, 1, 3)
-    cells = cells.reshape(hb * wb, cell * cell)
-    cmax = jnp.max(cells, axis=1)                    # [hb*wb]
-    # lowest-index argmax via min-of-equal trick (cheap, avoids sort)
-    iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
-    carg = jnp.min(jnp.where(cells == cmax[:, None], iota, cell * cell),
-                   axis=1)
-    resp, sel = jax.lax.top_k(cmax, num_features)    # small top-K
+    hp, wp = h + ph, w + pw
+    hb, wb = hp // cell, wp // cell
+
+    posbits = max(1, (cell * cell - 1).bit_length())
+    posmask = (1 << posbits) - 1
+    invpos = ((cell * cell - 1)
+              - (jnp.arange(hp, dtype=jnp.int32)[:, None] % cell) * cell
+              - (jnp.arange(wp, dtype=jnp.int32)[None, :] % cell))
+    bits = jax.lax.bitcast_convert_type(masked, jnp.int32)
+    packed = jnp.where(masked > 0.0, (bits & ~posmask) | invpos, 0)
+    rowmax = jnp.max(packed.reshape(hb, cell, wp), axis=1)       # [hb, wp]
+    cmax = jnp.max(rowmax.reshape(hb, wb, cell), axis=2).ravel()  # [hb*wb]
+
+    pk, sel = jax.lax.top_k(cmax, num_features)      # small top-K
+    valid = pk > 0
+    pos = (cell * cell - 1) - (pk & posmask)
     cy = sel // wb
     cx = sel % wb
-    iy = carg[sel] // cell
-    ix = carg[sel] % cell
-    y = (cy * cell + iy).astype(jnp.float32)
-    x = (cx * cell + ix).astype(jnp.float32)
-    valid = resp > 0.0
-    return jnp.stack([x, y], axis=-1), resp, valid
+    y = cy * cell + pos // cell
+    x = cx * cell + pos % cell
+    # exact responses: one [K] gather from the map (y, x are in-bounds of
+    # the unpadded score for every valid row; invalid rows clamp to 0,0)
+    yc = jnp.where(valid, y, 0)
+    xc = jnp.where(valid, x, 0)
+    resp = jnp.where(valid, score[yc, xc], 0.0)
+    return (jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)],
+                      axis=-1), resp, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "num_features",
@@ -203,3 +224,35 @@ def detect(img: jax.Array, threshold: float = 20.0 / 255.0,
     # (select_topk_banded measured slower than the flat top-k on v5e —
     # TPU top_k cost scales with n, not k — so the flat path stays default.)
     return select_topk(suppressed, num_features, border)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "num_features",
+                                             "nms_radius", "border",
+                                             "grid_cell", "blur_sigma",
+                                             "blur_radius"))
+def detect_with_blur(img: jax.Array, threshold: float = 20.0 / 255.0,
+                     num_features: int = 2000, nms_radius: int = 1,
+                     border: int = 19, grid_cell: int = 0,
+                     blur_sigma: float = 2.0, blur_radius: int = 3):
+    """:func:`detect` that also returns the descriptor-prefilter Gaussian
+    blur of ``img``: (xy, response, valid, blurred). On TPU the blur is
+    fused into the FAST score+NMS Pallas pass (the band is already VMEM-
+    resident — a separate full-image blur dispatch disappears from the ORB
+    front-end); elsewhere it falls back to detect + image.gaussian_blur.
+    Blur values differ from the XLA path only within ``blur_radius`` px of
+    the image border (zero vs reflect padding), which descriptor patches
+    never read (``border`` >= 19)."""
+    from slam_loop_closing_tpu.ops import image as image_ops
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    if nms_radius == 1 and pallas_kernels.use_pallas():
+        suppressed, blurred = pallas_kernels.fast_score_nms_blur(
+            img, threshold, blur_sigma, blur_radius)
+    else:
+        suppressed = nms(fast_score_map(img, threshold), nms_radius)
+        blurred = image_ops.gaussian_blur(img, blur_sigma, blur_radius)
+    if grid_cell > 0:
+        sel = select_topk_grid(suppressed, num_features, border, grid_cell)
+    else:
+        sel = select_topk(suppressed, num_features, border)
+    return sel + (blurred,)

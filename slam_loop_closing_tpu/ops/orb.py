@@ -259,26 +259,31 @@ def make_brief_bin_matrices(pattern: np.ndarray, num_bins: int = 30,
 
 @jax.jit
 def brief_from_patches_binned(patches: jax.Array, angle: jax.Array,
-                              valid: jax.Array, G: jax.Array) -> jax.Array:
-    """Rotated-BRIEF bits via quantized rotation + one-hot matmuls:
+                              valid: jax.Array, D: jax.Array) -> jax.Array:
+    """Rotated-BRIEF bits via quantized rotation + difference matmuls:
     [K, 256] uint8. For each orientation bin, the keypoints in that bin are
-    masked into a [K, P*P] @ [P*P, 512] MXU matmul; results accumulate into
-    one [K, 512] sample table (sel[:, :256] = point A, [:, 256:] = point B).
+    masked into a [K, P*P] @ [P*P, 256] MXU matmul against the bin's
+    DIFFERENCE matrix (+1 at each pair's point B, -1 at point A — see
+    :func:`brief_matrices`), accumulating one [K, 256] table of
+    ``sample_B - sample_A``; ``bit = diff > 0``. Half the FLOPs of sampling
+    A and B separately, and provably the same bits: the ±1 columns are
+    exact in bf16 and each dot is the f32 difference of the two
+    bf16-rounded pixels, whose sign equals the direct comparison's.
     No gathers anywhere."""
     k = patches.shape[0]
-    num_bins = G.shape[0]
+    num_bins = D.shape[0]
     flat = patches.reshape(k, -1).astype(jnp.bfloat16)
     step = 2.0 * jnp.pi / num_bins
     bins = jnp.mod(jnp.round(angle / step).astype(jnp.int32), num_bins)
-    sel = jnp.zeros((k, 512), jnp.float32)
+    diff = jnp.zeros((k, 256), jnp.float32)
     for b in range(num_bins):
         masked = jnp.where((bins == b)[:, None], flat, jnp.bfloat16(0))
-        sel = sel + jax.lax.dot_general(
-            masked, G[b].astype(jnp.bfloat16),
+        diff = diff + jax.lax.dot_general(
+            masked, D[b].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
-    bits = (sel[:, :256] < sel[:, 256:]).astype(jnp.uint8)
+    bits = (diff > 0.0).astype(jnp.uint8)
     return jnp.where(valid[:, None], bits, jnp.uint8(0))
 
 
@@ -297,7 +302,10 @@ _G_CACHE: dict = {}
 
 
 def brief_matrices(cfg: OrbConfig) -> jax.Array:
-    """Cached [bins, P*P, 512] sampling matrices for a config."""
+    """Cached [bins, P*P, 256] DIFFERENCE matrices for a config: bin b's
+    matrix has +1 at pair j's point-B pixel and -1 at its point-A pixel
+    (columns where both land on the same pixel are zero — bit 0, exactly
+    the ``A < B`` strict comparison's tie behavior)."""
     key = (cfg.pattern_seed, cfg.descriptor_bits, cfg.patch_size,
            cfg.brief_bins)
     if key not in _G_CACHE:
@@ -308,8 +316,8 @@ def brief_matrices(cfg: OrbConfig) -> jax.Array:
         # detect_and_describe_batch); without it the cache would capture
         # that trace's tracer and poison every later call.
         with jax.ensure_compile_time_eval():
-            _G_CACHE[key] = jnp.asarray(
-                make_brief_bin_matrices(pat, cfg.brief_bins))
+            g = make_brief_bin_matrices(pat, cfg.brief_bins)
+            _G_CACHE[key] = jnp.asarray(g[..., 256:] - g[..., :256])
     return _G_CACHE[key]
 
 
@@ -350,16 +358,17 @@ def detect_and_describe(img: jax.Array, cfg: OrbConfig = OrbConfig(),
 def _detect_level(level_img: jax.Array, level: int, budget: int,
                   pattern: jax.Array, cfg: OrbConfig):
     thr = cfg.fast_threshold / 255.0
-    xy, resp, valid = fast_ops.detect(
-        level_img, threshold=thr, num_features=budget,
-        nms_radius=cfg.nms_radius, border=cfg.border,
-        grid_cell=cfg.grid_cell)
     # ONE patch extraction from the blurred level serves both the
     # orientation moments and the binned-rotation BRIEF matmuls (the
     # intensity centroid on the blurred image differs negligibly from raw).
     # Blur matches cv::ORB's descriptor prefilter exactly: GaussianBlur
-    # 7x7, sigma 2 (radius 3, not the default 3*sigma truncation).
-    blurred = image_ops.gaussian_blur(level_img, 2.0, 3)
+    # 7x7, sigma 2 (radius 3, not the default 3*sigma truncation); on TPU
+    # it is fused into the FAST score+NMS Pallas pass (one band DMA serves
+    # both), elsewhere it runs as a separate XLA blur.
+    xy, resp, valid, blurred = fast_ops.detect_with_blur(
+        level_img, threshold=thr, num_features=budget,
+        nms_radius=cfg.nms_radius, border=cfg.border,
+        grid_cell=cfg.grid_cell, blur_sigma=2.0, blur_radius=3)
     patches = extract_patches_fast(blurred, xy)
     mw = jnp.asarray(_orientation_moment_weights())
     ang = orientation_from_patches(patches, valid, mw)

@@ -340,15 +340,37 @@ from slam_loop_closing_tpu.ops.fast import ARC, CIRCLE  # noqa: E402
 _PAD = 8  # halo padding; 8 keeps every dynamic row start sublane-aligned
 
 
-def _fast_kernel(img_hbm, score_ref, block_ref, sem, *, threshold: float,
-                 h: int, w: int, tile_h: int, batched: bool):
-    """Row-tiled fused FAST-9 score + 3x3 NMS. The padded image stays in
-    HBM; each grid step DMAs ONE 8-aligned [TH+16, W+16] block into VMEM
-    scratch (whole-image VMEM residency blows the 16 MB budget once the call
-    is batched over frames) and takes the 16 ring-shifted views as static
-    in-register slices. Tiling bounds live margin buffers to O(TH x W).
+def _fast_kernel(img_hbm, *refs, threshold: float, h: int, w: int,
+                 tile_h: int, batched: bool, blur_taps: tuple = ()):
+    """Row-tiled fused FAST-9 score + 3x3 NMS (+ optional descriptor blur).
+    The padded image stays in HBM; each grid step DMAs ONE 8-aligned
+    [TH+16, W+16] block into VMEM scratch (whole-image VMEM residency blows
+    the 16 MB budget once the call is batched over frames) and takes the 16
+    ring-shifted views as static in-register slices. Tiling bounds live
+    margin buffers to O(TH x W).
+
+    The corner score is computed from sliding-window extrema of the RING
+    values, not per-offset margins: for a window W of the circle,
+    ``min_{i in W}(ring_i - center - t) = (min_{i in W} ring_i) - center - t``
+    and ``min_{i in W}(center - ring_i - t) = center - t - max_{i in W}
+    ring_i``, so one shared sliding min9/max9 over the 16 ring buffers
+    (computed by doubling: 2 -> 4 -> 8 -> 9) replaces the 2 x 16 x 9
+    per-margin min trees — ~2x fewer VPU ops for identical scores.
+
+    ``blur_taps`` non-empty adds a second output: the separable Gaussian
+    blur of the tile (vertical then horizontal, identical tap order to
+    ``image.gaussian_blur``), computed from the same VMEM block — the ORB
+    descriptor prefilter for free while the band is resident. Matches the
+    XLA blur bitwise except within ``radius`` pixels of the image border
+    (zero vs reflect padding), a region the descriptor patches never read
+    (detector ``border`` is 19 >> radius).
+
     ``batched``: leading frame axis in the grid (pallas_call over ANY-space
     inputs cannot be vmapped, so batching is a grid dimension here)."""
+    if blur_taps:
+        score_ref, blur_ref, block_ref, sem = refs
+    else:
+        score_ref, block_ref, sem = refs
     if batched:
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -366,104 +388,119 @@ def _fast_kernel(img_hbm, score_ref, block_ref, sem, *, threshold: float,
         src.at[pl.ds(row0, tile_h + 16), :], block_ref, sem)
     dma.start()
     dma.wait()
-    # bf16 compute: halves the VMEM footprint of the 32 live margin buffers
-    # and doubles VPU throughput; score precision ~3 decimal digits is ample
-    # for corner ranking (pixel values are 8-bit to begin with).
-    block = block_ref[...].astype(jnp.bfloat16)
+    # bf16 compute: halves the VMEM footprint of the live ring/window
+    # buffers and doubles VPU throughput; score precision ~3 decimal digits
+    # is ample for corner ranking (pixel values are 8-bit to begin with).
+    block = block_ref[...]
+    bb = block.astype(jnp.bfloat16)
 
     def shifted(dy, dx):
         # unpadded row (row0 - 1 + dy + k) -> block row (7 + dy + k); static.
-        return block[7 + dy: 7 + dy + the, _PAD - 1 + dx: _PAD - 1 + dx + we]
+        return bb[7 + dy: 7 + dy + the, _PAD - 1 + dx: _PAD - 1 + dx + we]
 
     center = shifted(0, 0)
-    bright_margins = []
-    dark_margins = []
-    for dy, dx in CIRCLE:
-        r = shifted(dy, dx)
-        bright_margins.append(r - center - threshold)
-        dark_margins.append(center - r - threshold)
+    ring = [shifted(dy, dx) for dy, dx in CIRCLE]
+    ext = ring + ring[:ARC - 1]                       # 24 circular views
 
-    def arc_strength(margins):
-        ext = margins + margins[:ARC - 1]
-        best = None
-        for k in range(16):
-            mn = ext[k]
-            for j in range(1, ARC):
-                mn = jnp.minimum(mn, ext[k + j])
-            best = mn if best is None else jnp.maximum(best, mn)
-        return best
+    def slide9(vals, op):
+        # all 16 length-9 circular-window reductions by doubling
+        w2 = [op(vals[k], vals[k + 1]) for k in range(23)]
+        w4 = [op(w2[k], w2[k + 2]) for k in range(21)]
+        w8 = [op(w4[k], w4[k + 4]) for k in range(17)]
+        return [op(w8[k], vals[k + 8]) for k in range(16)]
 
-    score = jnp.maximum(jnp.maximum(arc_strength(bright_margins),
-                                    arc_strength(dark_margins)), 0.0)
-    # back to f32 before NMS: pltpu.roll has no bf16 lowering
-    score = score.astype(jnp.float32)
+    mn9 = slide9(ext, jnp.minimum)
+    best_min = mn9[0]
+    for k in range(1, 16):
+        best_min = jnp.maximum(best_min, mn9[k])      # brightest-arc margin
+    mx9 = slide9(ext, jnp.maximum)
+    worst_max = mx9[0]
+    for k in range(1, 16):
+        worst_max = jnp.minimum(worst_max, mx9[k])    # darkest-arc margin
+    score = jnp.maximum(best_min - center, center - worst_max) - threshold
+    score = jnp.maximum(score, 0.0)
     # zero outside the global 3-px interior (ring reads zero padding there)
     ys = jax.lax.broadcasted_iota(jnp.int32, (the, we), 0) + row0 - 1
     xs = jax.lax.broadcasted_iota(jnp.int32, (the, we), 1) - 1
     interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-    score = jnp.where(interior, score, 0.0)
+    # f32 for the NMS compare: Mosaic's v5e lowering rejects bf16 >=
+    score = jnp.where(interior, score, jnp.bfloat16(0.0)).astype(jnp.float32)
 
-    # fused 3x3 NMS on the extended tile, then crop the halo
-    local_max = score
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
+    # fused 3x3 NMS: static slices of the extended tile (no rolls needed —
+    # the 1-px halo provides every neighbor)
+    local_max = None
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
                 continue
-            # circular shift is safe: wrapped values land outside the
-            # interior crop or compare against zeroed borders
-            # (pltpu.roll requires non-negative shifts)
-            shifted_s = pltpu.roll(score, (-dy) % the, 0)
-            shifted_s = pltpu.roll(shifted_s, (-dx) % we, 1)
-            local_max = jnp.maximum(local_max, shifted_s)
-    out = jnp.where(score >= local_max, score, 0.0)
-    cropped = out[1:1 + tile_h, 1:1 + w]
-    score_ref[...] = cropped[None] if batched else cropped
+            s = score[dy:dy + tile_h, dx:dx + w]
+            local_max = s if local_max is None else jnp.maximum(local_max, s)
+    ctr = score[1:1 + tile_h, 1:1 + w]
+    out = jnp.where(ctr >= local_max, ctr, 0.0)
+    score_ref[...] = out[None] if batched else out
+
+    if blur_taps:
+        # separable blur in f32, identical tap order to image.gaussian_blur:
+        # vertical over block rows [row0 - r, row0 + tile_h + r), then
+        # horizontal over the r-extended columns.
+        r = (len(blur_taps) - 1) // 2
+        v = blur_taps[0] * block[8 - r: 8 - r + tile_h,
+                                 _PAD - r: _PAD + w + r]
+        for j in range(1, 2 * r + 1):
+            v = v + blur_taps[j] * block[8 - r + j: 8 - r + j + tile_h,
+                                         _PAD - r: _PAD + w + r]
+        bl = blur_taps[0] * v[:, 0:w]
+        for j in range(1, 2 * r + 1):
+            bl = bl + blur_taps[j] * v[:, j:j + w]
+        blur_ref[...] = bl[None] if batched else bl
 
 
-def _fast_call_single(img, threshold, tile_h, interpret):
+def _fast_call_single(img, threshold, tile_h, interpret, blur_taps=()):
     h, w = img.shape
     hp = (-h) % tile_h
     # DMA slices must be 128-lane aligned: pad the width up to a multiple.
     wp_extra = (-(w + 2 * _PAD)) % 128
     padded = jnp.pad(img, ((_PAD, _PAD + hp), (_PAD, _PAD + wp_extra)))
+    n_out = 2 if blur_taps else 1
     out = pl.pallas_call(
         functools.partial(_fast_kernel, threshold=threshold, h=h, w=w,
-                          tile_h=tile_h, batched=False),
+                          tile_h=tile_h, batched=False, blur_taps=blur_taps),
         grid=((h + hp) // tile_h,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h + hp, w), img.dtype),
+        out_specs=[pl.BlockSpec((tile_h, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((h + hp, w), img.dtype)] * n_out,
         scratch_shapes=[
             pltpu.VMEM((tile_h + 16, w + 2 * _PAD + wp_extra), img.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(padded)
-    return out[:h]
+    return tuple(o[:h] for o in out)
 
 
-def _fast_call_batched(imgs, threshold, tile_h, interpret):
+def _fast_call_batched(imgs, threshold, tile_h, interpret, blur_taps=()):
     b, h, w = imgs.shape
     hp = (-h) % tile_h
     wp_extra = (-(w + 2 * _PAD)) % 128
     padded = jnp.pad(imgs, ((0, 0), (_PAD, _PAD + hp),
                             (_PAD, _PAD + wp_extra)))
+    n_out = 2 if blur_taps else 1
     out = pl.pallas_call(
         functools.partial(_fast_kernel, threshold=threshold, h=h, w=w,
-                          tile_h=tile_h, batched=True),
+                          tile_h=tile_h, batched=True, blur_taps=blur_taps),
         grid=(b, (h + hp) // tile_h),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h + hp, w), imgs.dtype),
+        out_specs=[pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((b, h + hp, w), imgs.dtype)] * n_out,
         scratch_shapes=[
             pltpu.VMEM((tile_h + 16, w + 2 * _PAD + wp_extra), imgs.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(padded)
-    return out[:, :h]
+    return tuple(o[:, :h] for o in out)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h",
@@ -478,14 +515,60 @@ def fast_score_nms(img: jax.Array, threshold: float = 20.0 / 255.0,
 
     @jax.custom_batching.custom_vmap
     def run(x):
-        return _fast_call_single(x, threshold, tile_h, interpret)
+        return _fast_call_single(x, threshold, tile_h, interpret)[0]
 
     @run.def_vmap
     def _rule(axis_size, in_batched, xs):
         del axis_size
-        return _fast_call_batched(xs, threshold, tile_h, interpret), True
+        return _fast_call_batched(xs, threshold, tile_h, interpret)[0], True
 
     return run(img)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "blur_sigma",
+                                             "blur_radius", "tile_h",
+                                             "interpret"))
+def fast_score_nms_blur(img: jax.Array, threshold: float = 20.0 / 255.0,
+                        blur_sigma: float = 2.0, blur_radius: int = 3,
+                        tile_h: int = 32, interpret: bool = False):
+    """Fused FAST-9 score + 3x3 NMS + descriptor-prefilter Gaussian blur:
+    [H, W] -> (score_nms [H, W], blurred [H, W]) in ONE pass over the image
+    band — the blur rides the VMEM residency the corner scorer already pays
+    for, replacing a separate full-image blur dispatch in the ORB front-end
+    (``orb._detect_level``). The blurred output matches
+    ``image.gaussian_blur(img, blur_sigma, blur_radius)`` bitwise except
+    within ``blur_radius`` px of the image border (zero vs reflect padding —
+    outside the region descriptor patches can read)."""
+    assert tile_h % 8 == 0, "tile_h must be sublane-aligned"
+    assert blur_radius <= _PAD - 1, "blur halo exceeds the DMA block halo"
+    taps = tuple(float(v) for v in _blur_taps_f32(blur_sigma, blur_radius))
+
+    @jax.custom_batching.custom_vmap
+    def run(x):
+        return _fast_call_single(x, threshold, tile_h, interpret, taps)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, xs):
+        del axis_size
+        return (_fast_call_batched(xs, threshold, tile_h, interpret, taps),
+                (True, True))
+
+    return run(img)
+
+
+def _blur_taps_f32(sigma: float, radius: int):
+    """1-D Gaussian taps as host floats, evaluated through the SAME
+    ``image.gaussian_kernel1d`` the XLA blur uses (np.exp and jnp's exp can
+    differ by 1 ulp, which would break the bitwise interior-parity
+    contract)."""
+    import numpy as np
+
+    from slam_loop_closing_tpu.ops import image as image_ops
+
+    # may be reached under an outer jit trace (fast_score_nms_blur is
+    # jitted); force eager evaluation so the taps become host constants
+    with jax.ensure_compile_time_eval():
+        return np.asarray(image_ops.gaussian_kernel1d(sigma, radius))
 
 
 # ---------------------------------------------------------------------------
@@ -496,7 +579,9 @@ _P32 = 32          # patch side (orb.PATCH)
 _PCENTER = 15      # nominal center offset (orb._PC)
 _WIN_H = 40        # 8-aligned row window covering any 32-row patch
 _WIN_W = 256       # 128-aligned lane window covering any 32-col patch
-_RING = 8          # in-flight DMA depth
+_RING = 16         # in-flight DMA depth (16 x 40 KB windows = 640 KB VMEM;
+                   # measured faster than 8 — the per-DMA issue+complete
+                   # latency is the bound, not HBM bandwidth)
 
 
 def _patch_kernel(pk_ref, img_hbm, out_ref, win_ref, sem, *,

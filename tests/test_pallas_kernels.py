@@ -66,6 +66,41 @@ class TestFastKernel:
         np.testing.assert_allclose(got[both], ref[both], atol=5e-3)
 
 
+class TestFastBlurKernel:
+    def test_score_matches_score_only_kernel(self, rng):
+        img = np.zeros((64, 96), np.float32)
+        img[20:36, 30:50] = 1.0
+        img += rng.normal(0, 0.01, img.shape).astype(np.float32)
+        score_only = np.asarray(pallas_kernels.fast_score_nms(
+            jnp.asarray(img), interpret=True))
+        score, _ = pallas_kernels.fast_score_nms_blur(jnp.asarray(img),
+                                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(score), score_only)
+
+    def test_blur_matches_xla_interior(self, rng):
+        from slam_loop_closing_tpu.ops import image as image_ops
+
+        img = jnp.asarray(rng.random((64, 96)), jnp.float32)
+        ref = np.asarray(image_ops.gaussian_blur(img, 2.0, 3))
+        _, blur = pallas_kernels.fast_score_nms_blur(img, interpret=True)
+        # interior (> radius from every border): bitwise — same taps, same
+        # vertical-then-horizontal accumulation order
+        np.testing.assert_array_equal(np.asarray(blur)[3:-3, 3:-3],
+                                      ref[3:-3, 3:-3])
+
+    def test_vmapped_matches_single(self, rng):
+        import jax
+
+        imgs = jnp.asarray(rng.random((2, 48, 96)), jnp.float32)
+        sb, bb = jax.vmap(lambda im: pallas_kernels.fast_score_nms_blur(
+            im, interpret=True))(imgs)
+        for i in range(2):
+            s1, b1 = pallas_kernels.fast_score_nms_blur(imgs[i],
+                                                        interpret=True)
+            np.testing.assert_array_equal(np.asarray(sb[i]), np.asarray(s1))
+            np.testing.assert_array_equal(np.asarray(bb[i]), np.asarray(b1))
+
+
 class TestKnn2Kernels:
     def test_hamming_knn2_matches_xla(self, rng):
         sq = random_signed(rng, 70)
