@@ -271,8 +271,20 @@ def banded_pair_counts(signed: jax.Array, valid: jax.Array, min_gap: int,
     loop-similarity path. Work is scheduled as block x block frame tiles and
     only tiles intersecting the band are computed — for the reference's
     gap-30 rule this skips the upper triangle plus the diagonal strip
-    (~55% of a dense evaluation)."""
+    (~55% of a dense evaluation).
+
+    On TPU (and when a tile's target block fits VMEM) the tiles run through
+    the fused Pallas kernel (:func:`..pallas_kernels.banded_pair_counts_fused`)
+    whose per-pair distance blocks never reach HBM — the XLA tile path below
+    is bandwidth-bound on its [N, Ft*N] bf16 distance blocks."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
     f, n, d = signed.shape
+    npad = n + ((-n) % 128)
+    if (pallas_kernels.use_pallas() and (block * npad) % 256 == 0
+            and block * npad * d <= 4 * 2 ** 20):
+        return pallas_kernels.banded_pair_counts_fused(
+            signed, valid, min_gap, scale, block)
     pad = (-f) % block
     sp = jnp.pad(signed, ((0, pad), (0, 0), (0, 0)))
     vp = jnp.pad(valid, ((0, pad), (0, 0)))

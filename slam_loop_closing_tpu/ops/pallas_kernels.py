@@ -263,6 +263,109 @@ def l2_knn2(desc_q: jax.Array, desc_t: jax.Array, valid_t: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# banded frame-similarity kernel: per-pair NN distances without HBM blocks
+# ---------------------------------------------------------------------------
+
+def _band_d1_kernel(qidx_ref, tidx_ref, qblk_ref, tblk_ref, tval_ref,
+                    d1_ref, *, ft: int, npad: int):
+    """One query tile [TM, 256] of band tile ``p`` against all ``ft`` target
+    frames of that tile: for each target frame, Hamming distances on the MXU
+    (+-1 bf16, exact) and a row-min — the [TM, npad] distance block lives
+    only in VMEM. Output: [TM, ft] per-query-row nearest-neighbor distances,
+    the only thing the 2x-min similarity rule needs per frame pair. The XLA
+    path (matching.block_pair_counts) materializes [N, Ft*N] bf16 distance
+    blocks in HBM and is bandwidth-bound; this never leaves VMEM."""
+    q = qblk_ref[0].astype(jnp.bfloat16)                     # [TM, 256]
+    for tf in range(ft):
+        t = tblk_ref[0, tf * npad:(tf + 1) * npad, :].astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        dist = (BITS - dots) >> 1
+        dist = jnp.where(tval_ref[0, 0, tf * npad:(tf + 1) * npad][None, :]
+                         != 0, dist, _BIG)
+        d1_ref[0, :, tf:tf + 1] = jnp.min(dist, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("min_gap", "scale", "block",
+                                             "tile_m", "interpret"))
+def banded_pair_counts_fused(signed: jax.Array, valid: jax.Array,
+                             min_gap: int, scale: float = 2.0,
+                             block: int = 8, tile_m: int = 256,
+                             interpret: bool = False) -> jax.Array:
+    """Drop-in for :func:`..matching.banded_pair_counts` (same [F, F] counts,
+    same band, same max(2*min, 30) rule) with the distance blocks kept in
+    VMEM: the kernel emits only the [rows, ft] per-row NN distances per band
+    tile, and the count/threshold logic runs on that tiny table in XLA.
+    HBM traffic drops from ~3 passes over [N, Ft*N] bf16 distances per query
+    frame to one [block*npad, block] int32 write per tile."""
+    f, n, d = signed.shape
+    fpad = (-f) % block
+    npad_extra = (-n) % 128
+    npad = n + npad_extra
+    sp = jnp.pad(signed, ((0, fpad), (0, npad_extra), (0, 0)))
+    vp = jnp.pad(valid, ((0, fpad), (0, npad_extra)))
+    nb = (f + fpad) // block
+    rows = block * npad
+    sblocks = sp.reshape(nb, rows, d)
+    vblocks = vp.reshape(nb, 1, rows).astype(jnp.int32)
+
+    bpairs = [(qb, tb) for qb in range(nb) for tb in range(nb)
+              if tb * block <= qb * block + block - 1 - min_gap]
+    if not bpairs:
+        return jnp.zeros((f, f), jnp.int32)
+    qidx = jnp.asarray([p[0] for p in bpairs], jnp.int32)
+    tidx = jnp.asarray([p[1] for p in bpairs], jnp.int32)
+    p_cnt = len(bpairs)
+    qt = rows // tile_m
+    assert rows % tile_m == 0, "tile_m must divide block*npad"
+
+    d1 = pl.pallas_call(
+        functools.partial(_band_d1_kernel, ft=block, npad=npad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(p_cnt, qt),
+            in_specs=[
+                pl.BlockSpec((1, tile_m, d),
+                             lambda p, q, qi, ti: (qi[p], q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, d),
+                             lambda p, q, qi, ti: (ti[p], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rows),
+                             lambda p, q, qi, ti: (ti[p], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_m, block),
+                                   lambda p, q, qi, ti: (p, q, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((p_cnt, rows, block), jnp.int32),
+        interpret=interpret,
+    )(qidx, tidx, sblocks, sblocks, vblocks)
+
+    # count/threshold finalize on the tiny d1 table — mirrors
+    # matching.block_pair_counts' f32 threshold logic exactly
+    d1 = d1.reshape(p_cnt, block, npad, block).astype(jnp.float32)
+    qv = vblocks.reshape(nb, block, npad)[qidx]           # [P, block, npad]
+    row_ok = (qv != 0)[..., None] & (d1 < jnp.float32(BITS + 1))
+    dmin = jnp.min(jnp.where(row_ok, d1, jnp.float32(512.0)),
+                   axis=2)                                # [P, block, block]
+    thr = jnp.maximum(dmin * jnp.float32(scale), jnp.float32(30.0))
+    tiles = jnp.sum((row_ok & (d1 < thr[:, :, None, :])).astype(jnp.int32),
+                    axis=2)                               # [P, block, block]
+
+    full = jnp.zeros((nb, nb, block, block), jnp.int32)
+    full = full.at[qidx, tidx].set(tiles)
+    counts = full.transpose(0, 2, 1, 3).reshape(nb * block, nb * block)
+    counts = counts[:f, :f]
+    q = jnp.arange(f)[:, None]
+    t = jnp.arange(f)[None, :]
+    return jnp.where(t <= q - min_gap, counts, 0)
+
+
+# ---------------------------------------------------------------------------
 # fused motion-coherence support kernel (the PROSAC quality statistic)
 # ---------------------------------------------------------------------------
 

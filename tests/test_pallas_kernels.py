@@ -149,6 +149,21 @@ class TestKnn2Kernels:
                                       np.asarray(ref.idx)[m])
 
 
+class TestBandedFusedKernel:
+    def test_matches_xla_banded_counts(self, rng):
+        f, n = 12, 40
+        bits = (rng.random((f, n, 256)) > 0.5).astype(np.uint8)
+        signed = desc_ops.bits_to_signed(jnp.asarray(bits.reshape(-1, 256))
+                                         ).reshape(f, n, 256)
+        valid = jnp.asarray(rng.random((f, n)) > 0.2)
+        signed = jnp.where(valid[..., None], signed, 0)
+        ref = np.asarray(matching.banded_pair_counts(signed, valid,
+                                                     min_gap=3, block=4))
+        got = np.asarray(pallas_kernels.banded_pair_counts_fused(
+            signed, valid, min_gap=3, block=4, tile_m=64, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestMotionSupportKernel:
     def test_matches_xla(self, rng):
         # integer coordinates: both formulations are exact in f32
