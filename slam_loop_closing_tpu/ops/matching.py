@@ -201,8 +201,20 @@ def block_pair_counts(signed_q: jax.Array, valid_q: jax.Array,
     arithmetic at a fraction of that. Memory: the [N, Ft*N] distance block
     is transient per query frame (sequential lax.map), so callers control
     peak usage via the target block size.
+
+    On TPU, when the target block fits VMEM, the fused Pallas kernel runs
+    instead (:func:`..pallas_kernels.block_pair_counts_fused`): the distance
+    blocks never reach HBM at all — bitwise-identical counts, ~1.6x faster
+    at the headline 1080p configuration.
     """
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
     ft, n, d = signed_t.shape
+    npad = n + ((-n) % 128)
+    if (pallas_kernels.use_pallas()
+            and ft * npad * d <= pallas_kernels._PAIR_T_BUDGET):
+        return pallas_kernels.block_pair_counts_fused(
+            signed_q, valid_q, signed_t, valid_t, scale)
     # All-bf16 inner pipeline. Every value is a small integer — +-1/0
     # operands, dots in [-256, 256] with the same parity as BITS, Hamming
     # distances <= 256, thresholds <= 512 (even) — all exactly

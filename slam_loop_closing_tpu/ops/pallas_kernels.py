@@ -288,6 +288,89 @@ def _band_d1_kernel(qidx_ref, tidx_ref, qblk_ref, tblk_ref, tval_ref,
         d1_ref[0, :, tf:tf + 1] = jnp.min(dist, axis=1, keepdims=True)
 
 
+def _pair_d1_kernel(qblk_ref, tblk_ref, tval_ref, d1_ref, *, ft: int,
+                    npad: int):
+    """Non-prefetch variant of :func:`_band_d1_kernel` for a single
+    (query block, target block) pair: grid over query tiles only."""
+    q = qblk_ref[...].astype(jnp.bfloat16)                   # [TM, 256]
+    for tf in range(ft):
+        t = tblk_ref[tf * npad:(tf + 1) * npad, :].astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        dist = (BITS - dots) >> 1
+        dist = jnp.where(tval_ref[0, tf * npad:(tf + 1) * npad][None, :]
+                         != 0, dist, _BIG)
+        d1_ref[:, tf:tf + 1] = jnp.min(dist, axis=1, keepdims=True)
+
+
+# largest target block (rows x 256 int8 bytes) the fused pair kernels may
+# pin in VMEM alongside their transient distance tile
+_PAIR_T_BUDGET = 4 * 2 ** 20
+
+
+def _out_struct(shape, dtype, like):
+    """ShapeDtypeStruct for a pallas_call output, inheriting the
+    varying-mesh-axes (vma) type of ``like`` — required when the kernel runs
+    inside shard_map (e.g. the ring similarity's per-device tiles), where
+    check_vma demands explicit output vma."""
+    vma = getattr(getattr(like, "aval", None), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def block_pair_counts_fused(signed_q: jax.Array, valid_q: jax.Array,
+                            signed_t: jax.Array, valid_t: jax.Array,
+                            scale: float = 2.0,
+                            interpret: bool = False) -> jax.Array:
+    """Drop-in for :func:`..matching.block_pair_counts` ([Fq, N, D] x
+    [Ft, N, D] -> [Fq, Ft] good-match counts) with the per-pair distance
+    blocks kept in VMEM — the kernel emits only per-query-row NN distances
+    per target frame; threshold/count logic runs on that small table in XLA
+    (bitwise-identical counts). Callers must keep the target block inside
+    ``_PAIR_T_BUDGET`` (the :mod:`..matching` dispatcher checks)."""
+    fq, n, d = signed_q.shape
+    ft = signed_t.shape[0]
+    npad_extra = (-n) % 128
+    npad = n + npad_extra
+    qf = jnp.pad(signed_q, ((0, 0), (0, npad_extra), (0, 0)))
+    tf_ = jnp.pad(signed_t, ((0, 0), (0, npad_extra), (0, 0)))
+    vq = jnp.pad(valid_q, ((0, 0), (0, npad_extra)))
+    vt = jnp.pad(valid_t, ((0, 0), (0, npad_extra)))
+    rows_q = fq * npad
+    rows_t = ft * npad
+    tile_m = 256 if rows_q % 256 == 0 else 128
+
+    d1 = pl.pallas_call(
+        functools.partial(_pair_d1_kernel, ft=ft, npad=npad),
+        grid=(rows_q // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, d), lambda q: (q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_t, d), lambda q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_t), lambda q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, ft), lambda q: (q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((rows_q, ft), jnp.int32, signed_q),
+        interpret=interpret,
+    )(qf.reshape(rows_q, d), tf_.reshape(rows_t, d),
+      vt.reshape(1, rows_t).astype(jnp.int32))
+
+    # threshold/count finalize — mirrors matching.block_pair_counts exactly
+    d1 = d1.reshape(fq, npad, ft).astype(jnp.float32)
+    row_ok = vq[:, :, None] & (d1 < jnp.float32(BITS + 1))
+    dmin = jnp.min(jnp.where(row_ok, d1, jnp.float32(512.0)), axis=1)
+    thr = jnp.maximum(dmin * jnp.float32(scale), jnp.float32(30.0))
+    return jnp.sum((row_ok & (d1 < thr[:, None, :])).astype(jnp.int32),
+                   axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("min_gap", "scale", "block",
                                              "tile_m", "interpret"))
 def banded_pair_counts_fused(signed: jax.Array, valid: jax.Array,

@@ -150,6 +150,21 @@ class TestKnn2Kernels:
 
 
 class TestBandedFusedKernel:
+    def test_block_pair_counts_fused_matches_xla(self, rng):
+        fq, ft, n = 5, 3, 33
+        def mk(f):
+            bits = (rng.random((f, n, 256)) > 0.5).astype(np.uint8)
+            s = desc_ops.bits_to_signed(jnp.asarray(bits.reshape(-1, 256))
+                                        ).reshape(f, n, 256)
+            v = jnp.asarray(rng.random((f, n)) > 0.25)
+            return jnp.where(v[..., None], s, 0), v
+        sq, vq = mk(fq)
+        st, vt = mk(ft)
+        ref = np.asarray(matching.block_pair_counts(sq, vq, st, vt))
+        got = np.asarray(pallas_kernels.block_pair_counts_fused(
+            sq, vq, st, vt, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
     def test_matches_xla_banded_counts(self, rng):
         f, n = 12, 40
         bits = (rng.random((f, n, 256)) > 0.5).astype(np.uint8)
