@@ -369,20 +369,89 @@ def _band_tiles_kernel(sblocks, vblocks, qidx, tidx, scale):
     return jax.lax.map(per, (qidx, tidx))
 
 
+def _banded_chunked_fused(signed, valid, min_gap: int, scale: float,
+                          block: int, tiles_per_call: int,
+                          interpret: bool = False) -> "np.ndarray":
+    """TPU path of :func:`banded_pair_counts_chunked`: the band's 8-frame
+    tiles run through the in-kernel-finalized Pallas pair kernel
+    (:func:`..pallas_kernels.band_count_tiles_fused`) ``tiles_per_call``
+    per dispatch. All dispatches are enqueued asynchronously (outputs are
+    [T, block, block] count tiles — the whole KITTI band's output is
+    ~41 MB) and converted once at the end, so the per-dispatch round trip
+    never serializes against device compute."""
+    import numpy as np
+
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    f, n, d = signed.shape
+    npad_extra = (-n) % 128
+    npad = n + npad_extra
+    fpad = (-f) % block
+    # the kernel derives target-row validity from the zero-row convention;
+    # enforce it (front-end descriptors already comply — this is one cheap
+    # masked multiply on resident data)
+    signed = jnp.where(valid[..., None], signed, 0)
+    sp = jnp.pad(signed, ((0, fpad), (0, npad_extra), (0, 0)))
+    vp = jnp.pad(valid, ((0, fpad), (0, npad_extra)))
+    nb = (f + fpad) // block
+    sblocks = sp.reshape(nb, block * npad, d)
+    qv = vp.reshape(nb, block, npad).astype(jnp.int32)
+
+    bpairs = [(qb, tb) for qb in range(nb) for tb in range(nb)
+              if tb * block <= qb * block + block - 1 - min_gap]
+    if not bpairs:
+        return np.zeros((f, f), np.int32)
+    chunks = []
+    for s in range(0, len(bpairs), tiles_per_call):
+        chunk = bpairs[s:s + tiles_per_call]
+        padded = chunk + [chunk[0]] * (tiles_per_call - len(chunk))
+        qidx = jnp.asarray([c[0] for c in padded], jnp.int32)
+        tidx = jnp.asarray([c[1] for c in padded], jnp.int32)
+        chunks.append((chunk, pallas_kernels.band_count_tiles_fused(
+            sblocks, qv, qidx, tidx, scale, interpret=interpret)))
+
+    full = np.zeros((nb, nb, block, block), np.int32)
+    for chunk, dev in chunks:
+        tiles = np.asarray(dev)[: len(chunk)]
+        qi = np.fromiter((c[0] for c in chunk), np.int64, len(chunk))
+        ti = np.fromiter((c[1] for c in chunk), np.int64, len(chunk))
+        full[qi, ti] = tiles
+    counts = full.transpose(0, 2, 1, 3).reshape(nb * block, nb * block)
+    counts = counts[:f, :f]
+    q = np.arange(f)[:, None]
+    t = np.arange(f)[None, :]
+    return np.where(t <= q - min_gap, counts, 0)
+
+
 def banded_pair_counts_chunked(signed, valid, min_gap: int,
                                scale: float = 2.0, block: int = 64,
-                               tiles_per_call: int = 256) -> "np.ndarray":
+                               tiles_per_call: int = 256,
+                               fused_block: int = 8,
+                               fused_tiles_per_call: int = 4096
+                               ) -> "np.ndarray":
     """Sequence-scale variant of :func:`banded_pair_counts`: the band's
     block tiles are evaluated ``tiles_per_call`` at a time, one device
     dispatch each, with results assembled on the host. A single program
     holding ALL tiles of a 4541-frame KITTI band (~2.5k tiles x 64
     sequential queries each) runs long enough to trip the device watchdog —
     chunking keeps each program bounded while the per-dispatch round trip
-    amortizes over 256 tiles. Returns the [F, F] numpy count matrix with
-    out-of-band entries zeroed."""
+    amortizes over many tiles. Returns the [F, F] numpy count matrix with
+    out-of-band entries zeroed.
+
+    On TPU the band runs at ``fused_block``-frame granularity through the
+    in-kernel-finalized Pallas kernel (distance blocks and the d1 table
+    never touch HBM; ``block``/``tiles_per_call`` only shape the XLA
+    fallback)."""
     import numpy as np
 
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
     f, n, d = signed.shape
+    npad_f = n + ((-n) % 128)
+    if (pallas_kernels.use_pallas()
+            and fused_block * npad_f * d <= pallas_kernels._PAIR_T_BUDGET):
+        return _banded_chunked_fused(signed, valid, min_gap, scale,
+                                     fused_block, fused_tiles_per_call)
     pad = (-f) % block
     sp = jnp.pad(signed, ((0, pad), (0, 0), (0, 0)))
     vp = jnp.pad(valid, ((0, pad), (0, 0)))

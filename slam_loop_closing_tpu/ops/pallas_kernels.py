@@ -448,6 +448,113 @@ def banded_pair_counts_fused(signed: jax.Array, valid: jax.Array,
     return jnp.where(t <= q - min_gap, counts, 0)
 
 
+def _band_counts_kernel(qidx_ref, tidx_ref, tblk_ref, qblk_ref, qval_ref,
+                        out_ref, mx_scr, *, block: int, npad: int,
+                        qchunk: int, scale: float):
+    """One QUERY FRAME of band tile ``p`` against the tile's whole
+    ``block``-frame target block, with the 2x-min good-match counts
+    finalized IN KERNEL — the per-tile output is just a [block, 1] count
+    column, so sequence-scale bands (KITTI: ~161k 8-frame tiles) never
+    materialize a d1 table in HBM at all.
+
+    Orientation: dots are computed TRANSPOSED ([npad target rows (sublanes),
+    qchunk query rows (lanes)]) so the per-target-frame NN reduction lands
+    query rows on lanes — where the query validity mask already lives —
+    and the reduction keeps raw MXU dots (min distance == max dot; the
+    distance transform runs once on the reduced [block, npad] table, not on
+    every [npad, qchunk] block, keeping VPU work ~2 passes per block).
+
+    Target-row validity is derived in kernel from the package convention
+    that invalid descriptor rows are ZERO in the signed +-1 layout (the
+    dispatcher enforces it with one masked multiply); a zero row's dot is 0,
+    which must not win the max when every true dot is negative."""
+    del qidx_ref, tidx_ref
+    f32 = jnp.float32
+    for tf_i in range(block):
+        t = tblk_ref[0, tf_i * npad:(tf_i + 1) * npad, :].astype(
+            jnp.bfloat16)                                     # [npad, d]
+        # bf16 max is exact; the compare runs in f32 (Mosaic rejects bf16
+        # ordered compares on v5e)
+        tvalid = (jnp.max(jnp.abs(t), axis=1, keepdims=True)
+                  .astype(f32) > f32(0.0))                    # [npad, 1]
+        for qc in range(npad // qchunk):
+            qch = qblk_ref[0, qc * qchunk:(qc + 1) * qchunk, :].astype(
+                jnp.bfloat16)                                 # [qchunk, d]
+            dots = jax.lax.dot_general(
+                t, qch, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)           # [npad, qchunk]
+            dots = jnp.where(tvalid, dots, f32(-_BIG))
+            mx_scr[tf_i:tf_i + 1, qc * qchunk:(qc + 1) * qchunk] = jnp.max(
+                dots, axis=0, keepdims=True)
+    # finalize — mirrors matching.block_pair_counts' f32 threshold math
+    # exactly: d1 = (BITS - max_dot)/2 (exact: dot parity matches BITS);
+    # an all-invalid target frame yields d1 ~ 2^29 -> row_ok False, count 0,
+    # same as the XLA path's 512-sentinel.
+    d1 = (f32(BITS) - mx_scr[0:block, :]) * f32(0.5)          # [block, npad]
+    row_ok = (qval_ref[0] != 0) & (d1 < f32(BITS + 1))
+    dmin = jnp.min(jnp.where(row_ok, d1, f32(512.0)), axis=1,
+                   keepdims=True)                             # [block, 1]
+    thr = jnp.maximum(dmin * f32(scale), f32(30.0))
+    out_ref[0] = jnp.sum((row_ok & (d1 < thr)).astype(jnp.int32),
+                         axis=1, keepdims=True)               # [block, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def band_count_tiles_fused(sblocks: jax.Array, qvblocks: jax.Array,
+                           qidx: jax.Array, tidx: jax.Array,
+                           scale: float = 2.0,
+                           interpret: bool = False) -> jax.Array:
+    """Good-match count tiles for an explicit list of band tiles, with the
+    count finalize fused into the kernel: [P] (qidx, tidx) block indices ->
+    [P, block, block] count tiles ([query frame, target frame] layout).
+
+    ``sblocks`` is [nb, block*npad, d] signed int8 with INVALID ROWS ZEROED
+    (the kernel derives target validity from zero rows); ``qvblocks`` is
+    [nb, block, npad] int32 query validity. This is the sequence-scale band
+    path (:func:`..matching.banded_pair_counts_chunked` on TPU): unlike
+    :func:`banded_pair_counts_fused`, no [P, rows, block] d1 table is ever
+    written — at KITTI scale (~161k tiles) that table would be ~42 GB of
+    HBM transients per full band."""
+    nb, rows, d = sblocks.shape
+    block = qvblocks.shape[1]
+    npad = rows // block
+    p_cnt = qidx.shape[0]
+    qchunk = 256 if npad % 256 == 0 else 128
+    scr_rows = max(block, 8)
+    # Mosaic block-shape rule: the last two dims of every block must be
+    # 8/128-divisible or equal to the array dims — so the per-query-frame
+    # validity and output ride flattened leading dims indexed qi[p]*block+q.
+    qv_flat = qvblocks.reshape(nb * block, 1, npad)
+
+    counts = pl.pallas_call(
+        functools.partial(_band_counts_kernel, block=block, npad=npad,
+                          qchunk=qchunk, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(p_cnt, block),
+            in_specs=[
+                pl.BlockSpec((1, rows, d),
+                             lambda p, q, qi, ti: (ti[p], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npad, d),
+                             lambda p, q, qi, ti: (qi[p], q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, npad),
+                             lambda p, q, qi, ti: (qi[p] * block + q, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block, 1),
+                                   lambda p, q, qi, ti: (p * block + q, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((scr_rows, npad), jnp.float32)],
+        ),
+        out_shape=_out_struct((p_cnt * block, block, 1), jnp.int32, sblocks),
+        interpret=interpret,
+    )(qidx, tidx, sblocks, sblocks, qv_flat)
+    return counts.reshape(p_cnt, block, block)         # [P, qframe, tframe]
+
+
 # ---------------------------------------------------------------------------
 # fused motion-coherence support kernel (the PROSAC quality statistic)
 # ---------------------------------------------------------------------------

@@ -178,6 +178,51 @@ class TestBandedFusedKernel:
             signed, valid, min_gap=3, block=4, tile_m=64, interpret=True))
         np.testing.assert_array_equal(got, ref)
 
+    def test_band_count_tiles_in_kernel_finalize(self, rng):
+        # the sequence-scale variant: counts finalized inside the kernel,
+        # validity derived from the zero-row convention
+        f, n, block = 16, 40, 4
+        bits = (rng.random((f, n, 256)) > 0.5).astype(np.uint8)
+        signed = desc_ops.bits_to_signed(jnp.asarray(bits.reshape(-1, 256))
+                                         ).reshape(f, n, 256)
+        valid = jnp.asarray(rng.random((f, n)) > 0.2)
+        # one frame fully invalid: the all-zero target-frame edge case
+        valid = valid.at[2].set(False)
+        signed = jnp.where(valid[..., None], signed, 0)
+        npad = n + ((-n) % 128)
+        sp = jnp.pad(signed, ((0, 0), (0, npad - n), (0, 0)))
+        vp = jnp.pad(valid, ((0, 0), (0, npad - n)))
+        nb = f // block
+        sblocks = sp.reshape(nb, block * npad, 256)
+        qv = vp.reshape(nb, block, npad).astype(jnp.int32)
+        pairs = [(qb, tb) for qb in range(nb) for tb in range(nb)]
+        qidx = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        tidx = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        got = np.asarray(pallas_kernels.band_count_tiles_fused(
+            sblocks, qv, qidx, tidx, interpret=True))
+        sb = signed.reshape(nb, block, n, 256)
+        vb = valid.reshape(nb, block, n)
+        for k, (qb, tb) in enumerate(pairs):
+            ref = np.asarray(matching.block_pair_counts(
+                sb[qb], vb[qb], sb[tb], vb[tb]))
+            np.testing.assert_array_equal(got[k], ref,
+                                          err_msg=f"tile {(qb, tb)}")
+
+    def test_banded_chunked_fused_matches_xla_chunked(self, rng):
+        f, n = 21, 33
+        bits = (rng.random((f, n, 256)) > 0.5).astype(np.uint8)
+        signed = desc_ops.bits_to_signed(jnp.asarray(bits.reshape(-1, 256))
+                                         ).reshape(f, n, 256)
+        valid = jnp.asarray(rng.random((f, n)) > 0.2)
+        signed = jnp.where(valid[..., None], signed, 0)
+        ref = matching.banded_pair_counts_chunked(signed, valid, min_gap=4,
+                                                  block=8, tiles_per_call=3)
+        got = matching._banded_chunked_fused(signed, valid, min_gap=4,
+                                             scale=2.0, block=4,
+                                             tiles_per_call=5,
+                                             interpret=True)
+        np.testing.assert_array_equal(got, ref)
+
 
 class TestMotionSupportKernel:
     def test_matches_xla(self, rng):
