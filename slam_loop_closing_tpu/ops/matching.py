@@ -338,8 +338,20 @@ def dense_pair_counts_chunked(signed, valid, scale: float = 2.0,
     dispatched ``pairs_per_call`` per device program: one program holding
     all ~125k pairs runs long enough to trip the device watchdog (same
     lesson as :func:`banded_pair_counts_chunked`). Returns the [F, F] numpy
-    count matrix with out-of-range entries zeroed."""
+    count matrix with out-of-range entries zeroed.
+
+    A dense lower triangle IS a band with the caller's ``min_gap`` — on TPU
+    this routes through :func:`banded_pair_counts_chunked`'s fused tile
+    kernel (in-kernel count finalize, auto block size: 4-frame tiles at
+    ORB-4000), which reaches ~3x the per-pair kernel's MXU utilization."""
     import numpy as np
+
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    if pallas_kernels.use_pallas():
+        npad_f = signed.shape[1] + ((-signed.shape[1]) % 128)
+        if npad_f * signed.shape[2] <= pallas_kernels._PAIR_T_BUDGET:
+            return banded_pair_counts_chunked(signed, valid, min_gap, scale)
 
     f = signed.shape[0]
     pq_all = [(q, t) for q in range(f) for t in range(0, q - min_gap + 1)]
@@ -404,7 +416,13 @@ def _banded_chunked_fused(signed, valid, min_gap: int, scale: float,
     chunks = []
     for s in range(0, len(bpairs), tiles_per_call):
         chunk = bpairs[s:s + tiles_per_call]
-        padded = chunk + [chunk[0]] * (tiles_per_call - len(chunk))
+        # pad the ragged final chunk to the next power of two, not to the
+        # full tiles_per_call — padding is real duplicated device work, and
+        # the power-of-two sizes bound the number of distinct compiles
+        p_sz = 1
+        while p_sz < len(chunk):
+            p_sz *= 2
+        padded = chunk + [chunk[0]] * (p_sz - len(chunk))
         qidx = jnp.asarray([c[0] for c in padded], jnp.int32)
         tidx = jnp.asarray([c[1] for c in padded], jnp.int32)
         chunks.append((chunk, pallas_kernels.band_count_tiles_fused(
@@ -426,8 +444,8 @@ def _banded_chunked_fused(signed, valid, min_gap: int, scale: float,
 def banded_pair_counts_chunked(signed, valid, min_gap: int,
                                scale: float = 2.0, block: int = 64,
                                tiles_per_call: int = 256,
-                               fused_block: int = 8,
-                               fused_tiles_per_call: int = 4096
+                               fused_block: int | None = None,
+                               fused_tiles_per_call: int | None = None
                                ) -> "np.ndarray":
     """Sequence-scale variant of :func:`banded_pair_counts`: the band's
     block tiles are evaluated ``tiles_per_call`` at a time, one device
@@ -438,18 +456,30 @@ def banded_pair_counts_chunked(signed, valid, min_gap: int,
     amortizes over many tiles. Returns the [F, F] numpy count matrix with
     out-of-band entries zeroed.
 
-    On TPU the band runs at ``fused_block``-frame granularity through the
-    in-kernel-finalized Pallas kernel (distance blocks and the d1 table
-    never touch HBM; ``block``/``tiles_per_call`` only shape the XLA
-    fallback)."""
+    On TPU the band runs through the in-kernel-finalized Pallas kernel
+    (distance blocks and the d1 table never touch HBM): the tile block is
+    the largest power of two <= 8 whose target block fits the VMEM budget
+    (8 frames at ORB-1000, 4 at ORB-4000), and tiles-per-dispatch is scaled
+    to a constant per-dispatch FLOP budget (~1 s of device time — bounded
+    well under the device watchdog, long enough to amortize the dispatch
+    round trip). ``block``/``tiles_per_call`` only shape the XLA
+    fallback."""
     import numpy as np
 
     from slam_loop_closing_tpu.ops import pallas_kernels
 
     f, n, d = signed.shape
     npad_f = n + ((-n) % 128)
+    if fused_block is None:
+        fused_block = 8
+        while fused_block > 1 and (fused_block * npad_f * d
+                                   > pallas_kernels._PAIR_T_BUDGET):
+            fused_block //= 2
     if (pallas_kernels.use_pallas()
             and fused_block * npad_f * d <= pallas_kernels._PAIR_T_BUDGET):
+        if fused_tiles_per_call is None:
+            flops_per_tile = fused_block * fused_block * npad_f * npad_f * 512
+            fused_tiles_per_call = max(64, int(1.4e14 // flops_per_tile))
         return _banded_chunked_fused(signed, valid, min_gap, scale,
                                      fused_block, fused_tiles_per_call)
     pad = (-f) % block
