@@ -83,7 +83,12 @@ def main(argv=None):
     np.asarray(valid[:1])  # sync
     t_frontend = time.perf_counter() - t0
 
-    # Dense all-pairs counts (the config's defining stage).
+    # Dense all-pairs counts (the config's defining stage). Warm the pair
+    # programs at shape first: the fused tile programs are remote Mosaic
+    # compiles (~10-30 s each on this runtime) that would otherwise bill
+    # into the timed region on a cold cache.
+    matching.dense_pair_counts_chunked(
+        signed, valid, min_gap=1, pairs_per_call=args.pairs_per_call)
     t0 = time.perf_counter()
     cnp = matching.dense_pair_counts_chunked(
         signed, valid, min_gap=1, pairs_per_call=args.pairs_per_call)
