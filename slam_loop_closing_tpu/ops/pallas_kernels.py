@@ -627,10 +627,23 @@ def motion_support_pallas(xy_q: jax.Array, xy_t_matched: jax.Array,
 # fused FAST-9 score + NMS kernel
 # ---------------------------------------------------------------------------
 
-from slam_loop_closing_tpu.ops.fast import ARC, CIRCLE  # noqa: E402
+from slam_loop_closing_tpu.ops.fast import CIRCLE  # noqa: E402
 
 
 _PAD = 8  # halo padding; 8 keeps every dynamic row start sublane-aligned
+# column-chunk area budget for the FAST kernel: one chunk's ~32 live
+# tile-width intermediates at this size fit the 16 MB VMEM stack with room
+# for the block scratch + output windows (tile 32 x 1920 was the largest
+# unchunked tile that compiled; chunk count rounds UP — 128 x 1600 floored
+# to 3 chunks measured 17.4 MB and OOMed)
+_FAST_CHUNK_AREA = 32 * 1920
+
+
+def _fast_auto_tile(h: int) -> int:
+    """Default FAST tile height: large tiles amortize the ~13 us fixed cost
+    per grid step (measured at 1080p: tile 32 -> 128 is 0.50 -> 0.37 ms per
+    frame), capped by the image height for small pyramid levels."""
+    return min(128, -(-h // 8) * 8)
 
 
 def _fast_kernel(img_hbm, *refs, threshold: float, h: int, w: int,
@@ -714,65 +727,115 @@ def _fast_kernel(img_hbm, *refs, threshold: float, h: int, w: int,
     block = block_ref[slot]
     bb = block.astype(jnp.bfloat16)
 
-    def shifted(dy, dx):
-        # unpadded row (row0 - 1 + dy + k) -> block row (7 + dy + k); static.
-        return bb[7 + dy: 7 + dy + the, _PAD - 1 + dx: _PAD - 1 + dx + we]
+    # The per-grid-step fixed cost (~13 us measured: scalar setup + the
+    # pipeline bubble around the block DMA) dominates this kernel at small
+    # tiles, so throughput wants tile_h LARGE — but the ~32 live tile-width
+    # intermediates of the margin trees bound tile_h by the 16 MB VMEM
+    # stack (tile_h=48 already OOMed). Splitting the COLUMNS into chunks
+    # (each with its own 4-px halo) keeps liveness ~constant while tile_h
+    # grows: values are identical (slicing commutes with elementwise ops).
+    n_chunks = max(1, -(-(tile_h * w) // _FAST_CHUNK_AREA))
+    cw = -(-w // n_chunks)             # output columns per chunk
 
-    center = shifted(0, 0)
-    ring = [shifted(dy, dx) for dy, dx in CIRCLE]
-    ext = ring + ring[:ARC - 1]                       # 24 circular views
+    def compute_chunk(c0, cw_c):
+        cwe = cw_c + 2                 # +1 col each side for the NMS halo
 
-    def slide9(vals, op):
-        # all 16 length-9 circular-window reductions by doubling
-        w2 = [op(vals[k], vals[k + 1]) for k in range(23)]
-        w4 = [op(w2[k], w2[k + 2]) for k in range(21)]
-        w8 = [op(w4[k], w4[k + 4]) for k in range(17)]
-        return [op(w8[k], vals[k + 8]) for k in range(16)]
+        def shifted(dy, dx):
+            # unpadded (row0 - 1 + dy + k, c0 - 1 + dx + j) -> block
+            # (7 + dy + k, _PAD - 1 + dx + c0 + j); all offsets static.
+            return bb[7 + dy: 7 + dy + the,
+                      _PAD - 1 + dx + c0: _PAD - 1 + dx + c0 + cwe]
 
-    mn9 = slide9(ext, jnp.minimum)
-    best_min = mn9[0]
-    for k in range(1, 16):
-        best_min = jnp.maximum(best_min, mn9[k])      # brightest-arc margin
-    mx9 = slide9(ext, jnp.maximum)
-    worst_max = mx9[0]
-    for k in range(1, 16):
-        worst_max = jnp.minimum(worst_max, mx9[k])    # darkest-arc margin
-    score = jnp.maximum(best_min - center, center - worst_max) - threshold
-    score = jnp.maximum(score, 0.0)
-    # zero outside the global 3-px interior (ring reads zero padding there)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (the, we), 0) + row0 - 1
-    xs = jax.lax.broadcasted_iota(jnp.int32, (the, we), 1) - 1
-    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-    # f32 for the NMS compare: Mosaic's v5e lowering rejects bf16 >=
-    score = jnp.where(interior, score, jnp.bfloat16(0.0)).astype(jnp.float32)
+        center = shifted(0, 0)
+        ring = [shifted(dy, dx) for dy, dx in CIRCLE]
 
-    # fused 3x3 NMS: static slices of the extended tile (no rolls needed —
-    # the 1-px halo provides every neighbor)
-    local_max = None
-    for dy in (0, 1, 2):
-        for dx in (0, 1, 2):
-            if dy == 1 and dx == 1:
-                continue
-            s = score[dy:dy + tile_h, dx:dx + w]
-            local_max = s if local_max is None else jnp.maximum(local_max, s)
-    ctr = score[1:1 + tile_h, 1:1 + w]
-    out = jnp.where(ctr >= local_max, ctr, 0.0)
-    score_ref[...] = out[None] if batched else out
+        def fold_slide9(op, fold):
+            # fold over all 16 circular length-9 window reductions of the
+            # ring, van Herk/Gil-Werman style over the 24-extended sequence
+            # in blocks of 9: window(k) = op(suffix(k -> block end),
+            # prefix(block start -> k+8)). min/max are exact lattice ops,
+            # so any association order is bitwise-identical to the doubling
+            # tree this replaces — at ~59 ops/tree instead of 77, keeping
+            # only the 16 block suffixes live (the doubling tree's ~77
+            # tile-sized live intermediates were the VMEM-stack bound).
+            e = lambda i: ring[i % 16]
+            sm = [None] * 16
+            s = e(8)                   # block B0 = ext[0..8]
+            sm[8] = s
+            for i in range(7, -1, -1):
+                s = op(e(i), s)
+                sm[i] = s
+            s = e(17)                  # block B1 = ext[9..17]
+            for i in range(16, 8, -1):
+                s = op(e(i), s)
+                if i <= 15:
+                    sm[i] = s
+            best = sm[0]               # win(0): prefix(B0 -> 8) == sm[0]
+            p = e(9)                   # B1 prefixes serve win(1..9)
+            best = fold(best, op(sm[1], p))
+            for j in range(10, 18):
+                p = op(p, e(j))
+                best = fold(best, op(sm[j - 8], p))
+            p = e(18)                  # B2 = ext[18..], serves win(10..15)
+            best = fold(best, op(sm[10], p))
+            for j in range(19, 24):
+                p = op(p, e(j))
+                best = fold(best, op(sm[j - 8], p))
+            return best
 
-    if blur_taps:
-        # separable blur in f32, identical tap order to image.gaussian_blur:
-        # vertical over block rows [row0 - r, row0 + tile_h + r), then
-        # horizontal over the r-extended columns.
-        r = (len(blur_taps) - 1) // 2
-        v = blur_taps[0] * block[8 - r: 8 - r + tile_h,
-                                 _PAD - r: _PAD + w + r]
-        for j in range(1, 2 * r + 1):
-            v = v + blur_taps[j] * block[8 - r + j: 8 - r + j + tile_h,
-                                         _PAD - r: _PAD + w + r]
-        bl = blur_taps[0] * v[:, 0:w]
-        for j in range(1, 2 * r + 1):
-            bl = bl + blur_taps[j] * v[:, j:j + w]
-        blur_ref[...] = bl[None] if batched else bl
+        # brightest-arc margin: max over windows of the window-min
+        best_min = fold_slide9(jnp.minimum, jnp.maximum)
+        # darkest-arc margin: min over windows of the window-max
+        worst_max = fold_slide9(jnp.maximum, jnp.minimum)
+        score = jnp.maximum(best_min - center, center - worst_max) - threshold
+        score = jnp.maximum(score, 0.0)
+        # zero outside the global 3-px interior (ring reads zero padding)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (the, cwe), 0) + row0 - 1
+        xs = jax.lax.broadcasted_iota(jnp.int32, (the, cwe), 1) + c0 - 1
+        interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+        # f32 for the NMS compare: Mosaic's v5e lowering rejects bf16 >=
+        score = jnp.where(interior, score,
+                          jnp.bfloat16(0.0)).astype(jnp.float32)
+
+        # fused 3x3 NMS: static slices of the extended chunk (no rolls —
+        # the 1-px halo provides every neighbor)
+        local_max = None
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                s = score[dy:dy + tile_h, dx:dx + cw_c]
+                local_max = (s if local_max is None
+                             else jnp.maximum(local_max, s))
+        ctr = score[1:1 + tile_h, 1:1 + cw_c]
+        out = jnp.where(ctr >= local_max, ctr, 0.0)
+        if batched:
+            score_ref[0, :, c0:c0 + cw_c] = out
+        else:
+            score_ref[:, c0:c0 + cw_c] = out
+
+        if blur_taps:
+            # separable blur in f32, identical tap order to
+            # image.gaussian_blur: vertical over block rows
+            # [row0 - r, row0 + tile_h + r), then horizontal.
+            r = (len(blur_taps) - 1) // 2
+            v = blur_taps[0] * block[8 - r: 8 - r + tile_h,
+                                     _PAD - r + c0: _PAD + c0 + cw_c + r]
+            for j in range(1, 2 * r + 1):
+                v = v + blur_taps[j] * block[8 - r + j: 8 - r + j + tile_h,
+                                             _PAD - r + c0:
+                                             _PAD + c0 + cw_c + r]
+            bl = blur_taps[0] * v[:, 0:cw_c]
+            for j in range(1, 2 * r + 1):
+                bl = bl + blur_taps[j] * v[:, j:j + cw_c]
+            if batched:
+                blur_ref[0, :, c0:c0 + cw_c] = bl
+            else:
+                blur_ref[:, c0:c0 + cw_c] = bl
+
+    for c in range(n_chunks):
+        c0 = c * cw
+        compute_chunk(c0, min(cw, w - c0))
 
 
 def _fast_call_single(img, threshold, tile_h, interpret, blur_taps=()):
@@ -826,11 +889,14 @@ def _fast_call_batched(imgs, threshold, tile_h, interpret, blur_taps=()):
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h",
                                              "interpret"))
 def fast_score_nms(img: jax.Array, threshold: float = 20.0 / 255.0,
-                   tile_h: int = 32, interpret: bool = False) -> jax.Array:
+                   tile_h: int | None = None,
+                   interpret: bool = False) -> jax.Array:
     """Fused FAST-9 score + 3x3 NMS, [H, W] -> [H, W], row-tiled.
 
     vmap-safe: pallas_call over an ANY-memory-space input cannot be vmapped,
     so a custom batching rule reroutes vmap to a grid-batched kernel."""
+    if tile_h is None:
+        tile_h = _fast_auto_tile(img.shape[-2])
     assert tile_h % 8 == 0, "tile_h must be sublane-aligned"
 
     @jax.custom_batching.custom_vmap
@@ -850,7 +916,7 @@ def fast_score_nms(img: jax.Array, threshold: float = 20.0 / 255.0,
                                              "interpret"))
 def fast_score_nms_blur(img: jax.Array, threshold: float = 20.0 / 255.0,
                         blur_sigma: float = 2.0, blur_radius: int = 3,
-                        tile_h: int = 32, interpret: bool = False):
+                        tile_h: int | None = None, interpret: bool = False):
     """Fused FAST-9 score + 3x3 NMS + descriptor-prefilter Gaussian blur:
     [H, W] -> (score_nms [H, W], blurred [H, W]) in ONE pass over the image
     band — the blur rides the VMEM residency the corner scorer already pays
@@ -859,6 +925,8 @@ def fast_score_nms_blur(img: jax.Array, threshold: float = 20.0 / 255.0,
     ``image.gaussian_blur(img, blur_sigma, blur_radius)`` bitwise except
     within ``blur_radius`` px of the image border (zero vs reflect padding —
     outside the region descriptor patches can read)."""
+    if tile_h is None:
+        tile_h = _fast_auto_tile(img.shape[-2])
     assert tile_h % 8 == 0, "tile_h must be sublane-aligned"
     assert blur_radius <= _PAD - 1, "blur halo exceeds the DMA block halo"
     taps = tuple(float(v) for v in _blur_taps_f32(blur_sigma, blur_radius))
