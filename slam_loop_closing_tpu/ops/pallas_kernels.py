@@ -965,15 +965,16 @@ def _blur_taps_f32(sigma: float, radius: int):
 
 _P32 = 32          # patch side (orb.PATCH)
 _PCENTER = 15      # nominal center offset (orb._PC)
-_WIN_H = 40        # 8-aligned row window covering any 32-row patch
-_WIN_W = 256       # 128-aligned lane window covering any 32-col patch
+# window sizes derive from the patch side: _patch_win_h / _patch_win_w
+# (8-aligned rows / 128-aligned lanes covering any patch-sized span)
 _RING = 16         # in-flight DMA depth (16 x 40 KB windows = 640 KB VMEM;
                    # measured faster than 8 — the per-DMA issue+complete
                    # latency is the bound, not HBM bandwidth)
 
 
 def _patch_kernel(pk_ref, img_hbm, out_ref, win_ref, sem, *,
-                  chunk: int, total: int, batched: bool):
+                  chunk: int, total: int, batched: bool,
+                  patch: int = _P32):
     """Gather one [32, 32] patch per keypoint via a ring of ``_RING``
     outstanding aligned DMAs.
 
@@ -998,13 +999,16 @@ def _patch_kernel(pk_ref, img_hbm, out_ref, win_ref, sem, *,
         src = img_hbm
         kbase = pl.program_id(0) * chunk
 
+    win_h = _patch_win_h(patch)
+    win_w = _patch_win_w(patch)
+
     def start(j):
         slot = jax.lax.rem(j, _RING)
         p = pk_ref[kbase + j]
         yq = pl.multiple_of((p >> 17) * 8, 8)
         xq = pl.multiple_of(((p >> 7) & 0x7f) * 128, 128)
         pltpu.make_async_copy(
-            src.at[pl.ds(yq, _WIN_H), pl.ds(xq, _WIN_W)],
+            src.at[pl.ds(yq, win_h), pl.ds(xq, win_w)],
             win_ref.at[slot], sem.at[slot]).start()
 
     for j in range(min(_RING, chunk)):
@@ -1012,7 +1016,7 @@ def _patch_kernel(pk_ref, img_hbm, out_ref, win_ref, sem, *,
 
     def body(j, _):
         slot = jax.lax.rem(j, _RING)
-        pltpu.make_async_copy(src.at[pl.ds(0, _WIN_H), pl.ds(0, _WIN_W)],
+        pltpu.make_async_copy(src.at[pl.ds(0, win_h), pl.ds(0, win_w)],
                               win_ref.at[slot], sem.at[slot]).wait()
         # offset fixup by circular shifts (Mosaic cannot prove dynamic
         # sublane starts 8-aligned, so reads with pl.ds(dy, .) are out;
@@ -1020,13 +1024,13 @@ def _patch_kernel(pk_ref, img_hbm, out_ref, win_ref, sem, *,
         p = pk_ref[kbase + j]
         dy = (p >> 14) & 0x7
         dx = p & 0x7f
-        win = win_ref[slot]                                    # [40, 256]
-        rows = pltpu.roll(win, (_WIN_H - dy) % _WIN_H, axis=0)
-        rolled = pltpu.roll(rows, (_WIN_W - dx) % _WIN_W, axis=1)
+        win = win_ref[slot]                               # [win_h, win_w]
+        rows = pltpu.roll(win, (win_h - dy) % win_h, axis=0)
+        rolled = pltpu.roll(rows, (win_w - dx) % win_w, axis=1)
         if batched:
-            out_ref[0, j, :, :] = rolled[:_P32, :_P32]
+            out_ref[0, j, :, :] = rolled[:patch, :patch]
         else:
-            out_ref[j, :, :] = rolled[:_P32, :_P32]
+            out_ref[j, :, :] = rolled[:patch, :patch]
 
         @pl.when(j + _RING < chunk)
         def _():
@@ -1036,7 +1040,17 @@ def _patch_kernel(pk_ref, img_hbm, out_ref, win_ref, sem, *,
     jax.lax.fori_loop(0, chunk, body, 0)
 
 
-def _patch_offsets(xy, h, w, kp):
+def _patch_win_h(patch: int) -> int:
+    """Window rows: the 8-aligned superset of any ``patch``-row span."""
+    return patch + 8
+
+
+def _patch_win_w(patch: int) -> int:
+    """Window lanes: the 128-aligned superset of any ``patch``-col span."""
+    return 128 * (1 + -(-patch // 128))
+
+
+def _patch_offsets(xy, h, w, kp, patch=_P32, center=_PCENTER):
     """Aligned window origin + in-window offset for each keypoint, packed
     into one int32 `[y0/8 : dy(3) : x0/128(7) : dx(7)]` (good to 64k-row,
     16k-col images), padded to ``kp`` entries (padding gathers window 0 —
@@ -1044,8 +1058,8 @@ def _patch_offsets(xy, h, w, kp):
     excludes)."""
     xi = xy[:, 0].astype(jnp.int32)
     yi = xy[:, 1].astype(jnp.int32)
-    x0 = jnp.clip(xi - _PCENTER, 0, w - _P32)
-    y0 = jnp.clip(yi - _PCENTER, 0, h - _P32)
+    x0 = jnp.clip(xi - center, 0, w - patch)
+    y0 = jnp.clip(yi - center, 0, h - patch)
     xa = x0 >> 7
     ya = y0 >> 3
     packed = (ya << 17) | ((y0 - (ya << 3)) << 14) | (xa << 7) \
@@ -1053,34 +1067,36 @@ def _patch_offsets(xy, h, w, kp):
     return jnp.pad(packed, ((0, kp - xy.shape[0]),))
 
 
-def _patch_pad_image(img, h, w):
-    hp = -(-(h + 8) // 8) * 8                      # y0a + 40 <= hp
-    wp = ((w - _P32) // 128 + 2) * 128             # x0a + 256 <= wp
+def _patch_pad_image(img, h, w, patch=_P32):
+    hp = -(-(h + 8) // 8) * 8                # y0a + win_h <= hp
+    wp = ((w - patch) // 128 + 2) * 128      # x0a + win_w <= wp
     return jnp.pad(img, ((0, hp - h), (0, wp - w)))
 
 
-def _patch_call_single(img, xy, chunk, interpret):
+def _patch_call_single(img, xy, chunk, interpret, patch=_P32,
+                       center=_PCENTER):
     h, w = img.shape
     k = xy.shape[0]
     kp = -(-k // chunk) * chunk
-    packed = _patch_offsets(xy, h, w, kp)
+    packed = _patch_offsets(xy, h, w, kp, patch, center)
     out = pl.pallas_call(
         functools.partial(_patch_kernel, chunk=chunk, total=kp,
-                          batched=False),
+                          batched=False, patch=patch),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(kp // chunk,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((chunk, _P32, _P32),
+            out_specs=pl.BlockSpec((chunk, patch, patch),
                                    lambda c, *refs: (c, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((_RING, _WIN_H, _WIN_W), img.dtype),
+                pltpu.VMEM((_RING, _patch_win_h(patch),
+                            _patch_win_w(patch)), img.dtype),
                 pltpu.SemaphoreType.DMA((_RING,)),
             ]),
-        out_shape=jax.ShapeDtypeStruct((kp, _P32, _P32), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((kp, patch, patch), img.dtype),
         interpret=interpret,
-    )(packed, _patch_pad_image(img, h, w))
+    )(packed, _patch_pad_image(img, h, w, patch))
     return out[:k]
 
 
@@ -1089,30 +1105,34 @@ def _patch_call_single(img, xy, chunk, interpret):
 _SMEM_KP_BUDGET = 128 * 1024
 
 
-def _patch_call_batched(imgs, xys, chunk, interpret):
+def _patch_call_batched(imgs, xys, chunk, interpret, patch=_P32,
+                        center=_PCENTER):
     b, h, w = imgs.shape
     k = xys.shape[1]
     kp = -(-k // chunk) * chunk
-    padded = jax.vmap(lambda im: _patch_pad_image(im, h, w))(imgs)
-    packed = jax.vmap(lambda xy: _patch_offsets(xy, h, w, kp))(xys)
+    padded = jax.vmap(lambda im: _patch_pad_image(im, h, w, patch))(imgs)
+    packed = jax.vmap(
+        lambda xy: _patch_offsets(xy, h, w, kp, patch, center))(xys)
 
     def call(pk, ims):
         gb = ims.shape[0]
         return pl.pallas_call(
             functools.partial(_patch_kernel, chunk=chunk, total=kp,
-                              batched=True),
+                              batched=True, patch=patch),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(gb, kp // chunk),
                 in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-                out_specs=pl.BlockSpec((1, chunk, _P32, _P32),
+                out_specs=pl.BlockSpec((1, chunk, patch, patch),
                                        lambda bi, c, *refs: (bi, c, 0, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((_RING, _WIN_H, _WIN_W), ims.dtype),
+                    pltpu.VMEM((_RING, _patch_win_h(patch),
+                                _patch_win_w(patch)), ims.dtype),
                     pltpu.SemaphoreType.DMA((_RING,)),
                 ]),
-            out_shape=jax.ShapeDtypeStruct((gb, kp, _P32, _P32), ims.dtype),
+            out_shape=jax.ShapeDtypeStruct((gb, kp, patch, patch),
+                                           ims.dtype),
             interpret=interpret,
         )(pk.reshape(-1), ims)
 
@@ -1126,26 +1146,31 @@ def _patch_call_batched(imgs, xys, chunk, interpret):
     return out[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret", "patch",
+                                             "center"))
 def extract_patches_pallas(img: jax.Array, xy: jax.Array, chunk: int = 128,
-                           interpret: bool = False) -> jax.Array:
-    """[K, 32, 32] float32 patches centered (at the nominal (15, 15)) on
-    integer keypoint positions — value-identical to
+                           interpret: bool = False, patch: int = _P32,
+                           center: int = _PCENTER) -> jax.Array:
+    """[K, patch, patch] patches (keypoint at the nominal (center, center))
+    gathered from integer keypoint positions — value-identical to
     :func:`slam_loop_closing_tpu.ops.orb.extract_patches` for interior
-    keypoints, ~4x faster on v5e (DMA latency hidden instead of exposed
-    per keypoint).
+    keypoints at the 32/15 defaults, and to
+    :func:`slam_loop_closing_tpu.ops.sift._extract_grad_patches`' slices at
+    40/19, ~4-8x faster on v5e (DMA latency hidden _RING deep instead of
+    exposed per keypoint as with vmapped dynamic_slice).
 
     vmap-safe via a grid-batched variant (pallas_call over ANY-space
     inputs cannot be vmapped)."""
 
     @jax.custom_batching.custom_vmap
     def run(im, pts):
-        return _patch_call_single(im, pts, chunk, interpret)
+        return _patch_call_single(im, pts, chunk, interpret, patch, center)
 
     @run.def_vmap
     def _rule(axis_size, in_batched, ims, ptss):
         del axis_size, in_batched
-        return _patch_call_batched(ims, ptss, chunk, interpret), True
+        return _patch_call_batched(ims, ptss, chunk, interpret, patch,
+                                   center), True
 
     return run(img, xy)
 

@@ -258,14 +258,31 @@ _SCALE_CAP = (PATCH // 2 - 1) / (10.0 * _math.sqrt(2.0))
 
 def _extract_grad_patches(mag: jax.Array, ang: jax.Array, xy: jax.Array,
                           patch: int = PATCH):
-    """One contiguous dynamic-slice per keypoint from the magnitude AND
-    angle maps ([K, patch, patch] each) + the keypoint's position inside its
-    patch. Same keystone as orb.extract_patches: after this, the ~550
-    bilinear samples per keypoint hit a 6 KB cache-local buffer instead of
-    the full 8 MB gradient map (image-wide gathers are the dominant SIFT
-    cost at 1080p)."""
+    """One contiguous [patch, patch] window per keypoint from the magnitude
+    AND angle maps + the keypoint's position inside its patch. Same
+    keystone as orb.extract_patches: after this, every descriptor quantity
+    is patch-local instead of an image-wide gather (gathers are the
+    dominant SIFT cost at 1080p). On TPU the windows come from the
+    pipelined-DMA Pallas gather (pallas_kernels.extract_patches_pallas —
+    vmapped dynamic_slice exposes ~2.2 us of DMA latency per slice, ~9 ms
+    per 1080p frame at SIFT-4000; the ring kernel hides it); elsewhere a
+    vmapped dynamic-slice. Both paths are value-identical (same clipped
+    integer window origins)."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
     h, w = mag.shape
     pc = patch // 2 - 1
+
+    if pallas_kernels.use_pallas():
+        pm = pallas_kernels.extract_patches_pallas(mag, xy, patch=patch,
+                                                   center=pc)
+        pa = pallas_kernels.extract_patches_pallas(ang, xy, patch=patch,
+                                                   center=pc)
+        x0 = jnp.clip(xy[:, 0].astype(jnp.int32), pc, w - patch + pc) - pc
+        y0 = jnp.clip(xy[:, 1].astype(jnp.int32), pc, h - patch + pc) - pc
+        ctr = jnp.stack([xy[:, 0] - x0.astype(xy.dtype),
+                         xy[:, 1] - y0.astype(xy.dtype)], axis=-1)
+        return pm, pa, ctr
 
     def one(pt):
         xi = pt[0].astype(jnp.int32)

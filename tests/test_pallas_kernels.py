@@ -261,6 +261,30 @@ class TestPatchGatherKernel:
             im, p, interpret=True))(imgs, xys)
         np.testing.assert_array_equal(np.asarray(gotb), np.asarray(refb))
 
+    def test_sift_40x40_variant_matches_dynamic_slices(self, rng):
+        """The patch=40/center=19 configuration used by
+        sift._extract_grad_patches must reproduce its clipped
+        dynamic-slice windows exactly (including border clamping)."""
+        import jax
+
+        patch, pc = 40, 19
+        h, w = 104, 280
+        img = jnp.asarray(rng.random((h, w)), jnp.float32)
+        k = 140
+        xy = jnp.asarray(
+            np.stack([rng.integers(0, w, k),
+                      rng.integers(0, h, k)], -1), jnp.float32)
+
+        def one(pt):
+            x0 = jnp.clip(pt[0].astype(jnp.int32) - pc, 0, w - patch)
+            y0 = jnp.clip(pt[1].astype(jnp.int32) - pc, 0, h - patch)
+            return jax.lax.dynamic_slice(img, (y0, x0), (patch, patch))
+
+        ref = jax.vmap(one)(xy)
+        got = pallas_kernels.extract_patches_pallas(
+            img, xy, interpret=True, patch=patch, center=pc)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
 
 class TestGaussStackKernel:
     def test_matches_chained_xla_blurs(self, rng):
