@@ -60,12 +60,14 @@ def main(n_poses=10_000, iterations=10):
     params, g = build_graph(n_poses)
     cfg = PgoConfig(dense_solver_max_poses=0, cg_iterations=50)
     c0 = float(pgo.total_cost(params, g))
-    # warmup/compile
+    # warmup/compile; sync by forced host readback (block_until_ready does
+    # not reliably synchronize on this axon runtime — docs/PERFORMANCE.md
+    # "Profiling method")
     out, costs = pgo.optimize_pose_graph(params, g, cfg, iterations)
-    costs.block_until_ready()
+    np.asarray(costs[-1:])
     t0 = time.perf_counter()
     out, costs = pgo.optimize_pose_graph(params, g, cfg, iterations)
-    costs.block_until_ready()
+    np.asarray(costs[-1:])
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"pgo_{n_poses}poses_{iterations}iters",
