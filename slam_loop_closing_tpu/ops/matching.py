@@ -478,7 +478,7 @@ def banded_pair_counts_chunked(signed, valid, min_gap: int,
     if (pallas_kernels.use_pallas()
             and fused_block * npad_f * d <= pallas_kernels._PAIR_T_BUDGET):
         if fused_tiles_per_call is None:
-            flops_per_tile = fused_block * fused_block * npad_f * npad_f * 512
+            flops_per_tile = fused_block * fused_block * npad_f * npad_f * 2 * d
             fused_tiles_per_call = max(64, int(1.4e14 // flops_per_tile))
         return _banded_chunked_fused(signed, valid, min_gap, scale,
                                      fused_block, fused_tiles_per_call)

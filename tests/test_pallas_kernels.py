@@ -208,15 +208,21 @@ class TestBandedFusedKernel:
             np.testing.assert_array_equal(got[k], ref,
                                           err_msg=f"tile {(qb, tb)}")
 
-    def test_banded_chunked_fused_matches_xla_chunked(self, rng):
+    def test_banded_chunked_fused_matches_xla_chunked(self, rng, monkeypatch):
         f, n = 21, 33
         bits = (rng.random((f, n, 256)) > 0.5).astype(np.uint8)
         signed = desc_ops.bits_to_signed(jnp.asarray(bits.reshape(-1, 256))
                                          ).reshape(f, n, 256)
         valid = jnp.asarray(rng.random((f, n)) > 0.2)
         signed = jnp.where(valid[..., None], signed, 0)
-        ref = matching.banded_pair_counts_chunked(signed, valid, min_gap=4,
-                                                  block=8, tiles_per_call=3)
+        # Force the XLA tile fallback for the reference so the comparison is
+        # cross-implementation on every platform (on TPU hosts
+        # banded_pair_counts_chunked would otherwise dispatch to the same
+        # fused Pallas path under test).
+        with monkeypatch.context() as m:
+            m.setattr(pallas_kernels, "use_pallas", lambda: False)
+            ref = matching.banded_pair_counts_chunked(
+                signed, valid, min_gap=4, block=8, tiles_per_call=3)
         got = matching._banded_chunked_fused(signed, valid, min_gap=4,
                                              scale=2.0, block=4,
                                              tiles_per_call=5,
