@@ -31,6 +31,12 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--kitti-root", default=None)
+    ap.add_argument("--fixture", choices=["orbit", "multi-loop"],
+                    default="orbit",
+                    help="synthetic stand-in when no dataset: single-closure"
+                         " orbit, or the hard multi-region fixture with a"
+                         " distractor pass (utils.synth_video."
+                         "multi_loop_sequence)")
     ap.add_argument("--seq", default="00")
     ap.add_argument("--frames", type=int, default=4541)
     ap.add_argument("--height", type=int, default=376)
@@ -52,7 +58,8 @@ def main(argv=None):
     from slam_loop_closing_tpu.models.sfm import _verify_loop_scores
     from slam_loop_closing_tpu.ops import matching, orb
     from slam_loop_closing_tpu.utils import kitti
-    from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
+    from slam_loop_closing_tpu.utils.synth_video import (
+        ground_truth_loop_pairs, multi_loop_sequence, orbit_sequence)
 
     # grid-adapted selection, as in the 1080p headline bench (one keypoint
     # per 8x8 cell — OpenCV-ORB-style spreading)
@@ -71,6 +78,24 @@ def main(argv=None):
         if gt is not None:
             gt_pairs = kitti.gt_loop_pairs(gt[: args.frames],
                                            min_gap=args.min_gap)
+    elif args.fixture == "multi-loop":
+        # the HARD stand-in: two true revisit regions + a distractor pass
+        # over a fully height-separated texture band (near-revisit poses,
+        # unrelated views — verification must reject it). thetas/ys give
+        # exact pose ground truth; pairs at intermediate heights or within
+        # the cylinder's co-visibility range are scored as ignore.
+        distractor_dy = 16.0
+        frames, ml_thetas, ml_ys = multi_loop_sequence(
+            num_frames=args.frames, h=args.height, w=args.width,
+            num_points=1600, distractor_dy=distractor_dy)
+        source = "synthetic-multi-loop"
+        f_px = 0.8 * args.width
+        K = np.array([[f_px, 0, args.width / 2],
+                      [0, f_px, args.height / 2], [0, 0, 1.0]])
+        sp = float(np.max(np.abs(np.diff(ml_thetas))))
+        gt = ground_truth_loop_pairs(ml_thetas, ml_ys, min_gap=args.min_gap,
+                                     tol_theta=max(0.08, 0.8 * sp))
+        gt_pairs = list(zip(*map(list, np.nonzero(gt))))
     else:
         # synthetic stand-in with the same frame count and resolution; the
         # orbit's exact closure gives ground-truth loop pairs at i - j ~ F.
@@ -187,6 +212,30 @@ def main(argv=None):
                                         tol=args.recall_tol)
     precision_verified = kitti.loop_precision(vpairs, gt_pairs,
                                               tol=args.recall_tol)
+    extra = {}
+    if source == "synthetic-multi-loop":
+        # pose-exact scoring on the hard fixture: cross-band verifications
+        # are hard false positives (the distractor pass — MUST be 0);
+        # same-band pairs within the cylinder's co-visibility range and
+        # transition-height pairs are ignore, not errors
+        dth = np.abs(ml_thetas[:, None] - ml_thetas[None, :])
+        dth = np.minimum(dth, 2 * np.pi - dth)
+        dyy = np.abs(ml_ys[:, None] - ml_ys[None, :])
+        cross = [p for p in vpairs if dyy[p] >= distractor_dy - 2.0]
+        gtst = set(gt_pairs)
+        tolr = args.recall_tol
+        hard_fp = [p for p in vpairs
+                   if not any(abs(p[0] - g[0]) <= tolr
+                              and abs(p[1] - g[1]) <= tolr for g in gtst)
+                   and not (1.0 < dyy[p] < distractor_dy - 2.0)
+                   and dth[p] >= 0.7]
+        extra = {
+            "verified_cross_band": len(cross),
+            "verified_hard_fp": len(hard_fp),
+            "precision_excl_covisible":
+                round(1.0 - (len(hard_fp) + len(cross))
+                      / max(len(vpairs), 1), 4),
+        }
 
     n_band_pairs = sum(max(0, i - args.min_gap + 1) for i in range(b))
     total = t_frontend + t_pairs + t_verify
@@ -210,6 +259,7 @@ def main(argv=None):
         "recall": round(recall, 4),
         "recall_verified": round(recall_verified, 4),
         "precision_verified": round(precision_verified, 4),
+        **extra,
     }))
 
 

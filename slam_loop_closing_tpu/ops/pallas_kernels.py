@@ -120,11 +120,80 @@ def hamming_nn(signed_q: jax.Array, signed_t: jax.Array,
     return d1[:m, 0], idx[:m, 0]
 
 
+def _hamming_d1_kernel(q_ref, t_ref, tvalid_ref, d1_ref, *, tchunk, npad):
+    """d1-only variant of :func:`_hamming_nn_kernel` with the reduction on
+    RAW MXU dots (min distance == max dot — :func:`_band_counts_kernel`'s
+    scheme): per target chunk one masking pass + one lane-max, and the
+    distance transform runs once on the reduced [TM, 1] column instead of
+    on every [TM, N] element. ~2x fewer VPU passes than the
+    distance-reducing kernel; values identical (the +-1 dots are exact in
+    f32 and share BITS' parity, so (BITS - max_dot)/2 is the exact row-min
+    distance). Target chunking bounds the live f32 dots block."""
+    f32 = jnp.float32
+    q = q_ref[...].astype(jnp.bfloat16)
+    mx = jnp.full((q.shape[0], 1), -f32(_BIG), f32)
+    for c in range(npad // tchunk):
+        t = t_ref[c * tchunk:(c + 1) * tchunk, :].astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)             # [TM, tchunk]
+        dots = jnp.where(
+            tvalid_ref[0, c * tchunk:(c + 1) * tchunk][None, :] != 0,
+            dots, -f32(_BIG))
+        mx = jnp.maximum(mx, jnp.max(dots, axis=1, keepdims=True))
+    # exact for valid rows; an all-invalid row yields (BITS + _BIG)/2 >
+    # _BIG // 2, which row_ok logic rejects exactly like the NN kernel's
+    # _BIG sentinel
+    d1_ref[...] = ((f32(BITS) - mx) * f32(0.5)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def hamming_nn_d1(signed_q: jax.Array, signed_t: jax.Array,
+                  valid_t: jax.Array, tile_m: int = 256,
+                  interpret: bool = False) -> jax.Array:
+    """[M] nearest-target Hamming distance per query row (no index) — the
+    fast path for consumers that only need d1 (the 2x-min count rule, the
+    flagship Gpairs/sec bench). Same contract as ``hamming_nn(...)[0]``."""
+    m, bits = signed_q.shape
+    n = signed_t.shape[0]
+    n_pad = (-n) % 128
+    m_pad = (-m) % tile_m
+    if n_pad:
+        signed_t = jnp.pad(signed_t, ((0, n_pad), (0, 0)))
+        valid_t = jnp.pad(valid_t, (0, n_pad))
+    if m_pad:
+        signed_q = jnp.pad(signed_q, ((0, m_pad), (0, 0)))
+    np_, mp = n + n_pad, m + m_pad
+    tchunk = np_
+    for cand in (2048, 1024, 512, 256, 128):
+        if np_ % cand == 0 and np_ > cand:
+            tchunk = cand
+            break
+    d1 = pl.pallas_call(
+        functools.partial(_hamming_d1_kernel, tchunk=tchunk, npad=np_),
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, bits), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, bits), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=_out_struct((mp, 1), jnp.int32, signed_q),
+        interpret=interpret,
+    )(signed_q, signed_t, valid_t.astype(jnp.int32)[None, :])
+    return d1[:m, 0]
+
+
 def good_count_pair_pallas(signed_q, valid_q, signed_t, valid_t,
                            scale: float = 2.0, interpret: bool = False):
-    """Drop-in for :func:`..matching.good_count_pair` using the fused NN
-    kernel (same 2 x min rule, README.md:116-117)."""
-    d1, idx = hamming_nn(signed_q, signed_t, valid_t, interpret=interpret)
+    """Drop-in for :func:`..matching.good_count_pair` using the fused
+    d1-only NN kernel (same 2 x min rule, README.md:116-117)."""
+    d1 = hamming_nn_d1(signed_q, signed_t, valid_t, interpret=interpret)
     row_ok = valid_q & (d1 < _BIG // 2)
     dmin = jnp.min(jnp.where(row_ok, d1, _BIG))
     # max(2*min, 30) floor — must mirror matching.nn_matches_2xmin exactly
@@ -1320,6 +1389,222 @@ def gauss_stack_pallas(img: jax.Array, sigmas: tuple[float, ...],
     def _rule(axis_size, in_batched, xs):
         del axis_size, in_batched
         return _gauss_call(xs, sigmas, tile_h, interpret), True
+
+    return run(img)
+
+
+# ---------------------------------------------------------------------------
+# fused Gaussian stack + DoG extrema/gates (SIFT detector front half)
+# ---------------------------------------------------------------------------
+
+_RESP_MARGIN = 2  # spatial stencil radius of the gates (edge gate = double
+                  # central difference); the extrema need only 1
+
+
+def _gauss_stack_resp_kernel(img_hbm, *refs, kernels, rv, lpad, tile_h, w,
+                             wp, batched, n_inner, thr_c, edge_r, border, h):
+    """The blur chain of :func:`_gauss_stack_kernel` PLUS, while each DoG
+    plane is still VMEM-resident, the 26-neighbor extremum test and the
+    contrast/edge/border gates of ``sift._detect_octave`` — the XLA path
+    re-streams the [S+2, H, W] DoG stack through HBM several times for
+    these (measured ~3.4 ms/frame at a 1080p octave; docs/PERFORMANCE.md
+    round-3 headroom list). Emits the Gaussian levels (bitwise-identical to
+    the plain stack kernel) and one gated |DoG| response plane per interior
+    scale.
+
+    Gate arithmetic replicates ``sift._extrema_response`` /
+    ``sift._edge_mask`` exactly (min/max trees, 0.5-scaled central
+    differences — all exact f32 ops), so interior responses are
+    bitwise-identical to the XLA path; image borders differ (reflect halo
+    here vs one-sided jnp.gradient stencils there) only inside the
+    ``border``-pixel frame both paths zero out."""
+    *out_refs, win_ref, sem = refs
+    n_lvl = len(kernels)
+    lvl_refs = out_refs[:n_lvl]
+    resp_refs = out_refs[n_lvl:]
+    if batched:
+        i = pl.program_id(1)
+        src = img_hbm.at[pl.program_id(0),
+                         pl.ds(i * tile_h, tile_h + 2 * rv), :]
+    else:
+        i = pl.program_id(0)
+        src = img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * rv), :]
+    copy = pltpu.make_async_copy(src, win_ref, sem)
+    copy.start()
+    copy.wait()
+
+    th = tile_h
+    m = _RESP_MARGIN
+
+    def shift_l(x):   # value at lane j+1
+        return pltpu.roll(x, wp - 1, axis=1)
+
+    def shift_r(x):   # value at lane j-1
+        return pltpu.roll(x, 1, axis=1)
+
+    # interior (border-frame) mask of this tile's [th, w] output band
+    ry = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0) + i * tile_h
+    rx = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    interior = ((ry >= border) & (ry < h - border)
+                & (rx >= border) & (rx < w - border))
+
+    bands = {}   # gauss level -> [th + 2m, wp] band (freed once differenced)
+    dogs = {}    # dog plane   -> [th + 2m, wp]
+    row3 = {}    # dog plane   -> (sliding x-max3, x-min3)
+
+    def gate_plane(li):
+        """Emit gated response for interior dog plane ``li`` (1..n_inner)."""
+        x = dogs[li]
+        for p in (li - 1, li, li + 1):
+            if p not in row3:
+                xp = dogs[p]
+                row3[p] = (
+                    jnp.maximum(jnp.maximum(shift_r(xp), xp), shift_l(xp)),
+                    jnp.minimum(jnp.minimum(shift_r(xp), xp), shift_l(xp)))
+        nb = []
+        for sel, op in ((0, jnp.maximum), (1, jnp.minimum)):
+            f9m = op(op(row3[li - 1][sel][0:th + 2],
+                        row3[li - 1][sel][1:th + 3]),
+                     row3[li - 1][sel][2:th + 4])
+            f9p = op(op(row3[li + 1][sel][0:th + 2],
+                        row3[li + 1][sel][1:th + 3]),
+                     row3[li + 1][sel][2:th + 4])
+            excl = op(op(row3[li][sel][0:th + 2], row3[li][sel][2:th + 4]),
+                      op(shift_r(x), shift_l(x))[1:th + 3])
+            nb.append(op(op(f9m, f9p), excl))
+        inner = x[1:th + 3]
+        a = jnp.abs(inner)
+        is_ext = (inner > nb[0]) | (inner < nb[1])
+        resp = jnp.where(is_ext & (a >= thr_c), a, 0.0)
+        # edge gate (sift._edge_mask): principal-curvature ratio test from
+        # double 0.5-scaled central differences, valid on the center rows
+        gyv = (x[2:th + 4] - x[0:th + 2]) * 0.5          # rows 1..th+2
+        gyy = (gyv[2:th + 2] - gyv[0:th]) * 0.5          # rows 2..th+1
+        gxf = (shift_l(x) - shift_r(x)) * 0.5
+        gxx = ((shift_l(gxf) - shift_r(gxf)) * 0.5)[2:th + 2]
+        gxy = (gxf[3:th + 3] - gxf[1:th + 1]) * 0.5
+        tr = gxx + gyy
+        det = gxx * gyy - gxy * gxy
+        ok = (det > 0) & (tr * tr * edge_r < (edge_r + 1.0) ** 2 * det)
+        out = jnp.where(ok, resp[1:th + 1], 0.0)[:, lpad:lpad + w]
+        out = jnp.where(interior, out, 0.0)
+        if batched:
+            resp_refs[li - 1][0] = out
+        else:
+            resp_refs[li - 1][...] = out
+
+    cur = win_ref[...]
+    consumed = 0
+    for lvl, taps in enumerate(kernels):
+        r = (len(taps) - 1) // 2
+        hl = cur.shape[0] - 2 * r
+        nxt = taps[0] * cur[0:hl]
+        for j in range(1, 2 * r + 1):
+            nxt = nxt + taps[j] * cur[j:j + hl]
+        acc = taps[0] * pltpu.roll(nxt, r % wp, axis=1)
+        for j in range(1, 2 * r + 1):
+            acc = acc + taps[j] * pltpu.roll(nxt, (wp + r - j) % wp, axis=1)
+        cur = acc
+        consumed += r
+        ctr = rv - consumed   # >= 2m by the +4 halo extension in the caller
+        band = cur[ctr:ctr + tile_h, lpad:lpad + w]
+        if batched:
+            lvl_refs[lvl][0] = band
+        else:
+            lvl_refs[lvl][...] = band
+        bands[lvl] = cur[ctr - m:ctr + tile_h + m]
+        if lvl >= 1:
+            d = lvl - 1
+            dogs[d] = bands[lvl] - bands[lvl - 1]
+            del bands[lvl - 1]
+            if d >= 2 and d - 1 <= n_inner:
+                gate_plane(d - 1)
+                # plane d-2 is no longer a neighbor of any future gate
+                dogs.pop(d - 2, None)
+                row3.pop(d - 2, None)
+
+
+def gauss_resp_halo(sigmas: tuple[float, ...]) -> int:
+    """Halo of the fused stack+response kernel: the blur halo plus the
+    gates' spatial stencil margin (rounded into the 4-row alignment)."""
+    return gauss_stack_halo(sigmas) + 4
+
+
+def _gauss_resp_call(img, sigmas, n_inner, thr_c, edge_r, border, tile_h,
+                     interpret):
+    batched = img.ndim == 3
+    h, w = img.shape[-2:]
+    kernels = _gauss_weights(sigmas)
+    n_lvl = len(kernels)
+    assert n_inner == n_lvl - 3, "interior planes = dog planes 1..S"
+    rv = gauss_resp_halo(sigmas)
+    assert rv < min(h, w), "halo exceeds image (octave too small for pallas)"
+    lpad = -(-rv // 128) * 128
+    padded = _gauss_prepad(img.astype(jnp.float32), rv, lpad, tile_h, h)
+    wp = padded.shape[-1]
+    hq = padded.shape[-2] - 2 * rv
+    tiles = hq // tile_h
+    kern = functools.partial(
+        _gauss_stack_resp_kernel, kernels=kernels, rv=rv, lpad=lpad,
+        tile_h=tile_h, w=w, wp=wp, batched=batched, n_inner=n_inner,
+        thr_c=float(thr_c), edge_r=float(edge_r), border=int(border),
+        h=h)
+    n_out = n_lvl + n_inner
+    if batched:
+        b = img.shape[0]
+        grid = (b, tiles)
+        out_specs = [pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
+                                  memory_space=pltpu.VMEM)] * n_out
+        out_shape = [_out_struct((b, hq, w), jnp.float32, img)] * n_out
+    else:
+        grid = (tiles,)
+        out_specs = [pl.BlockSpec((tile_h, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)] * n_out
+        out_shape = [_out_struct((hq, w), jnp.float32, img)] * n_out
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * rv, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    outs = [o[..., :h, :] for o in outs]
+    return (jnp.stack(outs[:n_lvl], axis=-3),
+            jnp.stack(outs[n_lvl:], axis=-3))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sigmas", "n_inner", "thr_c", "edge_r", "border", "tile_h", "interpret"))
+def gauss_stack_resp_pallas(img: jax.Array, sigmas: tuple[float, ...],
+                            n_inner: int, thr_c: float, edge_r: float,
+                            border: int = 8, tile_h: int = 64,
+                            interpret: bool = False):
+    """Fused SIFT detector front half on one [H, W] float32 frame:
+    ``(gauss [L, H, W], resp [n_inner, H, W])`` where ``resp[j]`` is the
+    gated 26-neighbor |DoG| extremum response of interior DoG plane ``j+1``
+    (contrast threshold ``thr_c``, principal-curvature ratio ``edge_r``,
+    ``border``-pixel frame zeroed). The Gaussian levels are
+    bitwise-identical to :func:`gauss_stack_pallas`; the responses are
+    bitwise-identical to the XLA gate pipeline on the interior (see the
+    kernel docstring). vmap-safe via the grid-batched variant."""
+    assert tile_h % 8 == 0, "tile_h must be sublane-aligned"
+
+    @jax.custom_batching.custom_vmap
+    def run(x):
+        return _gauss_resp_call(x, sigmas, n_inner, thr_c, edge_r, border,
+                                tile_h, interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, xs):
+        del axis_size, in_batched
+        out = _gauss_resp_call(xs, sigmas, n_inner, thr_c, edge_r, border,
+                               tile_h, interpret)
+        return out, (True, True)
 
     return run(img)
 

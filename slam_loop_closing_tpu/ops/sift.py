@@ -75,6 +75,11 @@ def _gaussian_stack(img: jax.Array, num_scales: int, sigma0: float):
     return jnp.stack(levels)
 
 
+_BORDER = 8  # detector border frame (keypoints this close to an edge are
+             # dropped; cv::SIFT uses SIFT_IMG_BORDER=5 — 8 keeps the gate
+             # stencils interior and is well under the descriptor's margin)
+
+
 def _extrema_response(dog: jax.Array) -> jax.Array:
     """[S+2, H, W] -> response map where a pixel is a 26-neighborhood
     extremum of the DoG stack (interior scales only), else 0.
@@ -125,29 +130,51 @@ def _edge_mask(dog_levels: jax.Array, edge_threshold: float) -> jax.Array:
     return ok
 
 
+def _gated_response(img: jax.Array, cfg: SiftConfig):
+    """One octave's ``(gauss [S+3, H, W], resp [S, H, W])`` where resp plane
+    ``j`` is the gated |DoG| extremum response of interior DoG plane
+    ``j + 1`` (26-neighbor extremum AND contrast AND edge AND border gates
+    applied; everything else 0). On TPU the whole thing is ONE fused Pallas
+    pass (:func:`..pallas_kernels.gauss_stack_resp_pallas`) — the gates ride
+    the VMEM-resident blur chain instead of re-streaming the DoG stack
+    through HBM; elsewhere the vectorized XLA pipeline below. Interior
+    responses are bitwise-identical between the two (tested)."""
+    from slam_loop_closing_tpu.ops import pallas_kernels
+
+    s = cfg.scales_per_octave
+    sig = _chain_sigmas(s, cfg.sigma0)
+    thr = cfg.contrast_threshold / s
+    if (pallas_kernels.use_pallas()
+            and min(img.shape) > pallas_kernels.gauss_resp_halo(sig)):
+        return pallas_kernels.gauss_stack_resp_pallas(
+            img, sig, s, thr, cfg.edge_threshold, border=_BORDER)
+    gauss = _gaussian_stack(img, s, cfg.sigma0)           # [S+3, H, W]
+    dog = gauss[1:] - gauss[:-1]                          # [S+2, H, W]
+    resp = _extrema_response(dog)
+    # contrast gate (cv uses contrast_threshold/scales at the candidate)
+    resp = jnp.where(jnp.abs(dog) >= thr, resp, 0.0)
+    # edge gate, all interior levels in one pass (an ``.at[lvl].set`` loop
+    # would copy the whole stack once per level)
+    ok = _edge_mask(dog[1:s + 1], cfg.edge_threshold)
+    resp_in = jnp.where(ok, resp[1:s + 1], 0.0)           # [S, H, W]
+    h, w = img.shape
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    interior = ((ys[:, None] >= _BORDER) & (ys[:, None] < h - _BORDER)
+                & (xs[None, :] >= _BORDER) & (xs[None, :] < w - _BORDER))
+    return gauss, jnp.where(interior[None], resp_in, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "budget", "octave"))
 def _detect_octave(img: jax.Array, octave: int, budget: int,
                    cfg: SiftConfig):
     """Detect top-``budget`` DoG keypoints in one octave. Returns fixed-size
     (xy level0, sigma, response, valid, grad_mag, grad_ang, xy_octave)."""
     s = cfg.scales_per_octave
-    gauss = _gaussian_stack(img, s, cfg.sigma0)           # [S+3, H, W]
-    dog = gauss[1:] - gauss[:-1]                          # [S+2, H, W]
-    resp = _extrema_response(dog)
-    # contrast gate (cv uses contrast_threshold/scales at the candidate)
-    resp = jnp.where(jnp.abs(dog) >= cfg.contrast_threshold / s, resp, 0.0)
-    # edge gate, all interior levels in one pass (an ``.at[lvl].set`` loop
-    # would copy the whole stack once per level)
-    ok = _edge_mask(dog[1:s + 1], cfg.edge_threshold)
-    resp = jnp.concatenate(
-        [resp[:1], jnp.where(ok, resp[1:s + 1], 0.0), resp[s + 1:]])
+    # resp holds INTERIOR DoG planes only (plane j <-> DoG plane j+1); the
+    # first/last planes can never host an extremum and are never emitted
+    gauss, resp = _gated_response(img, cfg)
     h, w = img.shape
-    ys = jnp.arange(h)
-    xs = jnp.arange(w)
-    border = 8
-    interior = ((ys[:, None] >= border) & (ys[:, None] < h - border)
-                & (xs[None, :] >= border) & (xs[None, :] < w - border))
-    resp = jnp.where(interior[None], resp, 0.0)
 
     if cfg.grid_cell > 0:
         # One keypoint per spatial cell, max over scale: the top-K input
@@ -167,7 +194,7 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
                                  L * cell * cell), axis=1)
         vals, sel = jax.lax.top_k(cmax, budget)
         flat_in = carg[sel]
-        lvl = flat_in // (cell * cell)
+        lvl = flat_in // (cell * cell) + 1   # resp plane j <-> DoG plane j+1
         rem = flat_in % (cell * cell)
         cy = sel // wb
         cx = sel % wb
@@ -185,7 +212,7 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
                                              recall_target=0.95)
         else:
             vals, idx = jax.lax.top_k(flat, budget)
-        lvl = idx // (h * w)
+        lvl = idx // (h * w) + 1             # resp plane j <-> DoG plane j+1
         rem = idx % (h * w)
         y = (rem // w).astype(jnp.float32)
         x = (rem % w).astype(jnp.float32)
@@ -198,19 +225,24 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
     # offset recovers ~subpixel localization. Offsets are clamped to
     # +-0.5 (cv iterates and re-centers; one clamped step captures most of
     # the correction with static shapes).
-    lc = jnp.clip(lvl, 1, dog.shape[0] - 2)
+    lc = jnp.clip(lvl, 1, s)
     yi = jnp.clip(y.astype(jnp.int32), 1, h - 2)
     xi = jnp.clip(x.astype(jnp.int32), 1, w - 2)
 
-    # One advanced-indexing gather for all K 3x3x3 neighborhoods: a vmapped
-    # dynamic_slice lowers to one serialized DMA per keypoint (~2.2 us
-    # exposed latency each — 4.6 ms/frame at SIFT-4000/1080p), while a
-    # single XLA gather of the 27K scalars runs in ~1.4 ms. Same elements,
-    # identical values.
+    # One advanced-indexing gather for all K 3x3x3 DoG neighborhoods: a
+    # vmapped dynamic_slice lowers to one serialized DMA per keypoint
+    # (~2.2 us exposed latency each — 4.6 ms/frame at SIFT-4000/1080p),
+    # while a single XLA gather runs in ~1.4 ms. The DoG stack itself is
+    # never materialized: the gather fetches the 4 surrounding GAUSSIAN
+    # planes ([K, 4, 3, 3]) and differences them — identical values
+    # (dog[p] = gauss[p+1] - gauss[p]) for one fewer [S+2, H, W] HBM
+    # round-trip.
     d3 = jnp.arange(-1, 2)
-    c = dog[lc[:, None, None, None] + d3[:, None, None],
-            yi[:, None, None, None] + d3[None, :, None],
-            xi[:, None, None, None] + d3[None, None, :]]   # [K, 3, 3, 3]
+    d4 = jnp.arange(-1, 3)
+    g4 = gauss[lc[:, None, None, None] + d4[:, None, None],
+               yi[:, None, None, None] + d3[None, :, None],
+               xi[:, None, None, None] + d3[None, None, :]]  # [K, 4, 3, 3]
+    c = g4[:, 1:] - g4[:, :-1]                               # [K, 3, 3, 3]
     gx = 0.5 * (c[:, 1, 1, 2] - c[:, 1, 1, 0])
     gy = 0.5 * (c[:, 1, 2, 1] - c[:, 1, 0, 1])
     gs = 0.5 * (c[:, 2, 1, 1] - c[:, 0, 1, 1])

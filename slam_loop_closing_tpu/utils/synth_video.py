@@ -99,14 +99,17 @@ def _multiscale_texture(rng, th: int, tw: int) -> np.ndarray:
     return np.clip(tex, 0.0, 1.0).astype(np.float32)
 
 
-def orbit_sequence(num_frames: int = 100, h: int = 240, w: int = 320,
-                   num_points: int = 400, radius: float = 8.0,
-                   seed: int = 0, revisit: bool = True) -> np.ndarray:
-    """[B, h, w] float32 frames of a camera orbiting inside a textured
-    cylinder (axis = y, radius 2x the orbit), looking outward. With
-    ``revisit`` the orbit spans a full 2*pi, so the final frames see the
-    start's wall again (ground-truth loop closure). The cylinder is curved
-    (non-planar), so two-view essential-matrix geometry is well-posed.
+def render_cylinder_trajectory(thetas: np.ndarray, ys: np.ndarray,
+                               h: int = 240, w: int = 320,
+                               num_points: int = 400, radius: float = 8.0,
+                               seed: int = 0) -> np.ndarray:
+    """[B, h, w] float32 frames of a camera inside a textured cylinder
+    (axis = y, radius 2x the orbit radius), at orbit angle ``thetas[i]`` and
+    height ``ys[i]``, looking tangentially along the +theta direction (the
+    look direction depends only on the POSE, not on the motion direction, so
+    a trajectory that backtracks re-renders identical views — true
+    revisits). The cylinder is curved (non-planar), so two-view
+    essential-matrix geometry is well-posed.
 
     Rendering is vectorized ray casting: every pixel ray is intersected with
     the cylinder and shaded from a multi-octave noise texture. ``num_points``
@@ -120,7 +123,6 @@ def orbit_sequence(num_frames: int = 100, h: int = 240, w: int = 320,
     cyl_r = 2.0 * radius
     f = 0.8 * w
     Kinv_scale = 1.0 / f
-    span = 2 * np.pi if revisit else np.pi
 
     us, vs = np.meshgrid(np.arange(w, dtype=np.float64),
                          np.arange(h, dtype=np.float64))
@@ -128,15 +130,17 @@ def orbit_sequence(num_frames: int = 100, h: int = 240, w: int = 320,
                         (vs - h / 2) * Kinv_scale,
                         np.ones_like(us)], -1)     # [h, w, 3]
 
+    num_frames = len(thetas)
     frames = np.zeros((num_frames, h, w), np.float32)
     for i in range(num_frames):
-        ang = span * i / num_frames
-        C = np.array([radius * np.cos(ang), 0.0, radius * np.sin(ang)])
-        # look along the direction of motion (tangentially — a corridor
-        # drive): the wall is seen at grazing angles, giving the strong
-        # depth variation two-view translation estimation needs (an
-        # outward-facing view sees near-constant depth, which is a
-        # degenerate geometry for E-matrix translation recovery)
+        ang = float(thetas[i])
+        C = np.array([radius * np.cos(ang), float(ys[i]),
+                      radius * np.sin(ang)])
+        # look along the +theta tangent (a corridor drive): the wall is seen
+        # at grazing angles, giving the strong depth variation two-view
+        # translation estimation needs (an outward-facing view sees
+        # near-constant depth, which is a degenerate geometry for E-matrix
+        # translation recovery)
         z = np.array([-np.sin(ang), 0.0, np.cos(ang)])
         up = np.array([0.0, 1.0, 0.0])
         x = np.cross(up, z)
@@ -160,6 +164,95 @@ def orbit_sequence(num_frames: int = 100, h: int = 240, w: int = 320,
         v0 = v_tex.astype(int)
         frames[i] = tex[v0, u0]
     return frames
+
+
+def orbit_sequence(num_frames: int = 100, h: int = 240, w: int = 320,
+                   num_points: int = 400, radius: float = 8.0,
+                   seed: int = 0, revisit: bool = True) -> np.ndarray:
+    """[B, h, w] float32 frames of a camera orbiting inside the textured
+    cylinder at constant speed. With ``revisit`` the orbit spans a full 2*pi,
+    so the final frames see the start's wall again (ground-truth loop
+    closure)."""
+    span = 2 * np.pi if revisit else np.pi
+    thetas = span * np.arange(num_frames) / num_frames
+    return render_cylinder_trajectory(thetas, np.zeros(num_frames), h, w,
+                                      num_points, radius, seed)
+
+
+def multi_loop_sequence(num_frames: int = 120, h: int = 240, w: int = 320,
+                        num_points: int = 400, radius: float = 8.0,
+                        seed: int = 0, distractor_dy: float = 16.0):
+    """The HARD loop-closure fixture: a trajectory with TWO distinct true
+    revisit regions plus a distractor near-revisit pass (VERDICT r3 item 8).
+
+    Segments (fractions of the frame budget):
+      1. forward  theta 0      -> 0.34*2pi  at y=0          (new territory)
+      2. backward theta 0.34   -> 0.20*2pi  at y=0          (TRUE revisit #1:
+         re-renders the same poses as the matching part of segment 1 — the
+         tangential look direction depends only on theta, not on the motion
+         direction)
+      3. forward  theta 0.20   -> 0.34*2pi  at y=distractor_dy (DISTRACTOR:
+         same angles as segments 1-2 but the camera is high enough that the
+         viewed texture bands are fully disjoint — geometrically "near",
+         visually unrelated; a correct detector must NOT fire here). The
+         climb/descent ramps are fast (a few frames), so only a handful of
+         transition frames have partial band overlap — scoring should treat
+         pairs involving intermediate heights as ignore, not negatives.
+      4. forward  theta 0.34*2pi -> 2pi*1.03 at y back to 0  (new territory,
+         then the wrap past theta=0 is TRUE revisit #2 of the start)
+
+    Returns (frames [B, h, w] float32, thetas [B], ys [B]). Use
+    :func:`ground_truth_loop_pairs` on (thetas, ys) for the true-revisit
+    mask; height separation (``|y_q - y_t|`` vs the view band height) splits
+    distractor negatives from ignore-zone transition pairs.
+    """
+    n1 = int(0.30 * num_frames)
+    n2 = int(0.13 * num_frames)
+    n3 = int(0.13 * num_frames)
+    n4 = num_frames - n1 - n2 - n3
+    a, b = 0.34 * 2 * np.pi, 0.20 * 2 * np.pi
+    th1 = np.linspace(0.0, a, n1, endpoint=False)
+    th2 = np.linspace(a, b, n2, endpoint=False)
+    th3 = np.linspace(b, a, n3, endpoint=False)
+    th4 = np.linspace(a, 2 * np.pi * 1.03, n4)
+    thetas = np.concatenate([th1, th2, th3, th4])
+    # revisit segments stay at y=0 (exact pose revisits); the climb to and
+    # from the distractor height happens over a few transition frames at the
+    # segment boundaries (fast enough that the distractor plateau dominates
+    # segment 3, slow enough that consecutive-frame odometry still tracks)
+    r3 = max(2, min(4, n3 // 3))
+    r4 = max(2, min(4, n4 // 4))
+    ys = np.concatenate([
+        np.zeros(n1),
+        np.zeros(n2),
+        np.concatenate([np.linspace(0.0, distractor_dy, r3, endpoint=False),
+                        np.full(n3 - r3, distractor_dy)]),
+        np.concatenate([np.linspace(distractor_dy, 0.0, r4, endpoint=False),
+                        np.zeros(n4 - r4)]),
+    ])
+    frames = render_cylinder_trajectory(thetas, ys, h, w, num_points,
+                                        radius, seed)
+    return frames, thetas, ys
+
+
+def ground_truth_loop_pairs(thetas: np.ndarray, ys: np.ndarray,
+                            min_gap: int, tol_theta: float = 0.08,
+                            tol_y: float = 1.0) -> np.ndarray:
+    """[B, B] bool mask of TRUE revisit (query, target) pairs: poses nearly
+    coincide — angular distance (mod 2pi) within ``tol_theta`` radians AND
+    height within ``tol_y`` — with ``target <= query - min_gap``. Same-angle
+    pairs at well-separated heights (the distractor pass) are negatives;
+    pairs at intermediate height offsets or just outside ``tol_theta`` are
+    partially co-visible on the cylinder (they CAN verify geometrically) and
+    should be scored as ignore, not as false positives — see
+    tests/test_loop_closing.py for the scoring contract."""
+    dth = np.abs(thetas[:, None] - thetas[None, :])
+    dth = np.minimum(dth, 2 * np.pi - dth)
+    dy = np.abs(ys[:, None] - ys[None, :])
+    near = (dth < tol_theta) & (dy < tol_y)
+    q = np.arange(len(thetas))[:, None]
+    t = np.arange(len(thetas))[None, :]
+    return near & (t <= q - min_gap)
 
 
 def write_frames(frames: np.ndarray, out_dir: str | Path) -> Path:

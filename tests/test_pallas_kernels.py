@@ -26,6 +26,23 @@ class TestHammingNN:
         np.testing.assert_array_equal(np.asarray(d1), dist.min(1))
         np.testing.assert_array_equal(np.asarray(idx), dist.argmin(1))
 
+    def test_d1_only_kernel_matches_nn(self, rng):
+        """hamming_nn_d1 (raw-dot max reduction) must equal hamming_nn's d1
+        exactly, including all-invalid-row rejection semantics."""
+        sq = jnp.asarray(rng.integers(0, 2, (100, 256)) * 2 - 1, jnp.int8)
+        st = jnp.asarray(rng.integers(0, 2, (70, 256)) * 2 - 1, jnp.int8)
+        vt = jnp.asarray(rng.random(70) > 0.2)
+        ref, _ = pallas_kernels.hamming_nn(sq, st, vt, tile_m=64,
+                                           interpret=True)
+        got = pallas_kernels.hamming_nn_d1(sq, st, vt, tile_m=64,
+                                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # all targets invalid: both paths must reject every row
+        vt0 = jnp.zeros(70, bool)
+        got0 = pallas_kernels.hamming_nn_d1(sq, st, vt0, tile_m=64,
+                                            interpret=True)
+        assert np.all(np.asarray(got0) >= pallas_kernels._BIG // 2)
+
     def test_good_count_matches_reference(self, rng):
         sq = random_signed(rng, 60)
         st = random_signed(rng, 60)
@@ -322,3 +339,81 @@ class TestGaussStackKernel:
             single = np.asarray(pallas_kernels.gauss_stack_pallas(
                 imgs[i], sig, interpret=True))
             np.testing.assert_allclose(gotb[i], single, atol=1e-6)
+
+
+class TestGaussStackRespKernel:
+    """The fused stack+extrema/gates kernel vs the XLA gate pipeline in
+    sift._gated_response (the SIFT detector's front half)."""
+
+    @staticmethod
+    def _xla_ref(img, cfg):
+        from slam_loop_closing_tpu.ops import sift
+
+        s = cfg.scales_per_octave
+        gauss = sift._gaussian_stack(img, s, cfg.sigma0)
+        dog = gauss[1:] - gauss[:-1]
+        resp = sift._extrema_response(dog)
+        resp = jnp.where(jnp.abs(dog) >= cfg.contrast_threshold / s,
+                         resp, 0.0)
+        ok = sift._edge_mask(dog[1:s + 1], cfg.edge_threshold)
+        resp_in = jnp.where(ok, resp[1:s + 1], 0.0)
+        h, w = img.shape
+        b = sift._BORDER
+        ys, xs = jnp.arange(h), jnp.arange(w)
+        interior = ((ys[:, None] >= b) & (ys[:, None] < h - b)
+                    & (xs[None, :] >= b) & (xs[None, :] < w - b))
+        return gauss, jnp.where(interior[None], resp_in, 0.0)
+
+    def test_matches_xla_gate_pipeline(self, rng):
+        from slam_loop_closing_tpu.config import SiftConfig
+        from slam_loop_closing_tpu.ops import sift
+
+        import jax
+
+        cfg = SiftConfig()
+        s = cfg.scales_per_octave
+        sig = sift._chain_sigmas(s, cfg.sigma0)
+        # blob-scale texture (coarse noise upsampled) so DoG extrema at the
+        # detector's scales actually pass the contrast gate — blurred white
+        # noise leaves almost none
+        img = jax.image.resize(
+            jnp.asarray(rng.random((16, 32)), jnp.float32),
+            (128, 256), "bilinear")
+        ref_g, ref_r = self._xla_ref(img, cfg)
+        got_g, got_r = pallas_kernels.gauss_stack_resp_pallas(
+            img, sig, s, cfg.contrast_threshold / s, cfg.edge_threshold,
+            border=sift._BORDER, interpret=True)
+        assert got_r.shape == (s, 128, 256)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                                   atol=2e-6)
+        # the gates are exact min/max/compare trees over the same stack
+        # values: where the stacks agree bitwise, responses agree bitwise —
+        # under interpret mode both paths run the same XLA arithmetic, so
+        # demand near-exact agreement away from compare knife-edges
+        ref_r = np.asarray(ref_r)
+        got_r = np.asarray(got_r)
+        disagree = np.abs(got_r - ref_r) > 1e-6
+        assert disagree.mean() < 1e-4, (
+            f"{disagree.sum()} / {disagree.size} gated responses differ")
+        assert (ref_r > 0).sum() > 50, "fixture produced too few extrema"
+
+    def test_vmapped_matches_single(self, rng):
+        import jax
+
+        from slam_loop_closing_tpu.config import SiftConfig
+        from slam_loop_closing_tpu.ops import sift
+
+        cfg = SiftConfig()
+        s = cfg.scales_per_octave
+        sig = sift._chain_sigmas(s, cfg.sigma0)
+        imgs = jnp.asarray(rng.random((2, 96, 256)), jnp.float32)
+        call = lambda im: pallas_kernels.gauss_stack_resp_pallas(
+            im, sig, s, cfg.contrast_threshold / s, cfg.edge_threshold,
+            border=sift._BORDER, interpret=True)
+        gb, rb = jax.vmap(call)(imgs)
+        for i in range(2):
+            g1, r1 = call(imgs[i])
+            np.testing.assert_allclose(np.asarray(gb[i]), np.asarray(g1),
+                                       atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(rb[i]),
+                                          np.asarray(r1))

@@ -114,6 +114,32 @@ class TestSfM:
         assert text.startswith("# Reconstruction point cloud")
         assert "v " in text
 
+    def test_fused_backend_matches_staged(self, sfm_cfg, frames,
+                                          pipeline_run):
+        """run()'s fused single-program backend (run_backend) vs the staged
+        optimize/bundle_adjust/remove_outliers sequence: same ops composed
+        into one XLA program, so results must agree to fusion-order float
+        tolerance and every discrete decision (keyframes, loop, outlier
+        counts) must be identical."""
+        pipe, res = pipeline_run  # run() = the fused path
+        pipe2 = SfMPipeline(sfm_cfg, max_keyframes=32, max_points=8192,
+                            max_obs=32768, log=lambda *a: None)
+        state, _ = pipe2.run_frontend_and_keyframes(frames)
+        loop = pipe2.find_loop(state)
+        assert loop.found == res.loop.found
+        state = pipe2.optimize(state, loop)
+        e0 = pipe2._mean_reproj(state)
+        state, errs = pipe2.bundle_adjust(state)
+        state = pipe2.remove_outliers(state)
+        state, errs2 = pipe2.bundle_adjust(state, outer_iterations=3)
+        assert abs(e0 - res.reproj_before_ba) < 1e-2
+        assert abs(float(errs[-1]) - res.reproj_after_ba) < 1e-2
+        assert abs(float(errs2[-1]) - res.reproj_final) < 1e-2
+        assert (int(np.asarray(state.point_valid).sum())
+                == int(np.asarray(res.state.point_valid).sum()))
+        np.testing.assert_allclose(np.asarray(res.state.poses),
+                                   np.asarray(state.poses), atol=1e-3)
+
 
 class TestTriangulationCounters:
     """The reference prints per-keyframe rejection counters
