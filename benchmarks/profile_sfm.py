@@ -73,8 +73,22 @@ def main(argv=None):
     video_dev = jax.device_put(video)
     np.asarray(video_dev.ravel()[:2])
 
-    # warm every program at shape
+    # warm every program at shape: the fused-path run() plus one pass of
+    # the staged backend sequence (different XLA programs)
     pipe.run(video_dev, write_obj=False)
+
+    def staged(state, loop):
+        state = pipe.optimize(state, loop)
+        pipe._mean_reproj(state)
+        state, _ = pipe.bundle_adjust(state)
+        state = pipe.remove_outliers(state)
+        pipe._mean_reproj(state)
+        state, errs2 = pipe.bundle_adjust(state, outer_iterations=3)
+        return state, errs2
+
+    state_w, _ = pipe.run_frontend_and_keyframes_scan(video_dev)
+    loop_w = pipe.find_loop(state_w)
+    staged(state_w, loop_w)
 
     def sync(x):
         arr = jax.tree.leaves(x)[0]
@@ -92,6 +106,7 @@ def main(argv=None):
     state, _ = clock("frontend_scan",
                      lambda: pipe.run_frontend_and_keyframes_scan(video_dev))
     loop = clock("loop_search", lambda: pipe.find_loop(state))
+    state0 = state
     state = clock("pgo", lambda: pipe.optimize(state, loop))
     clock("reproj0", lambda: pipe._mean_reproj(state))
     state, errs = clock("ba1", lambda: pipe.bundle_adjust(state))
@@ -100,17 +115,22 @@ def main(argv=None):
     state, errs2 = clock("ba2",
                          lambda: pipe.bundle_adjust(state,
                                                     outer_iterations=3))
-    total = sum(t.values())
-    backend = total - t["frontend_scan"] - t["loop_search"]
+    # the fused single-program backend (what run() actually uses)
+    clock("backend_fused", lambda: pipe.run_backend(state0, loop)[0])
+    total = sum(t.values()) - t["backend_fused"]
+    backend_staged = total - t["frontend_scan"] - t["loop_search"]
+    e2e_fused = (t["frontend_scan"] + t["loop_search"]
+                 + t["backend_fused"])
     print(json.dumps({
         "metric": f"sfm_stage_profile_{args.detector}"
                   f"{args.num_features}_{h}p",
-        "value": round(total, 3),
+        "value": round(e2e_fused, 3),
         "unit": "seconds",
         "vs_baseline": None,
         "stages_s": t,
-        "backend_s": round(backend, 3),
-        "fps_equivalent": round(frames / total, 2),
+        "backend_staged_s": round(backend_staged, 3),
+        "backend_fused_s": t["backend_fused"],
+        "fps_equivalent": round(frames / e2e_fused, 2),
         "keyframes": int(state.kf_count),
     }))
 

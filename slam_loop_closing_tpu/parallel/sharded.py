@@ -182,6 +182,169 @@ def banded_loop_counts(mesh: Mesh, signed: jax.Array, valid: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# multi-video DP (BASELINE configs[3]: all videos in parallel over the mesh)
+# ---------------------------------------------------------------------------
+
+def process_videos_sharded(mesh: Mesh, videos, config=None, axis="data"):
+    """Multi-video loop detection with the VIDEO axis sharded over the mesh:
+    [V, B, H, W] -> per-video loop lists, equal to
+    ``LoopClosingSystem.process_videos_batched`` (tested on the virtual
+    mesh). Each device runs the plain single-device program
+    (front-end + banded similarity) on its local videos under shard_map —
+    pure DP, no collectives."""
+    import numpy as np
+
+    from slam_loop_closing_tpu.config import PipelineConfig
+    from slam_loop_closing_tpu.models import loop_closing as lc
+
+    cfg = config or PipelineConfig()
+    v0, b = videos.shape[:2]
+    if b <= cfg.loop.min_loop_gap:
+        return [[] for _ in range(v0)]
+    videos = jnp.asarray(videos)
+    videos, _ = mesh_lib.pad_to_multiple(videos, mesh.devices.size)
+    fn = shard_map(
+        functools.partial(lc.videos_loop_scores, cfg=cfg), mesh=mesh,
+        in_specs=(P(axis, None, None, None),),
+        out_specs=(P(axis, None, None), P(axis, None, None)))
+    counts, sims = fn(videos)
+    return lc.loops_from_video_scores(np.asarray(counts)[:v0],
+                                      np.asarray(sims)[:v0], cfg)
+
+
+# ---------------------------------------------------------------------------
+# Version-B backend: edge-/observation-parallel PGO and BA
+# ---------------------------------------------------------------------------
+
+def pgo_sharded(mesh: Mesh, params: jax.Array, g, cfg, axis: str = "data"):
+    """Pose-graph optimization with the EDGE axis sharded over the mesh
+    (reference optimizePoseGraph, main.cpp:282-445, at the 10k-pose
+    BASELINE target): per-edge residual/Jacobian vmaps run on local edge
+    shards, parameters replicate, and XLA's GSPMD partitioner inserts the
+    psums assembling the normal equations. Identical math to
+    ``pgo.optimize_pose_graph`` (equality-tested on the virtual mesh).
+    Edges pad with mask=False rows (identity R_rel so so3_log stays
+    finite)."""
+    from slam_loop_closing_tpu.ops import pgo
+
+    d = mesh.devices.size
+    e = g.e_from.shape[0]
+    pad = (-e) % d
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=g.R_rel.dtype),
+                               (pad, 3, 3))
+        g = pgo.PoseGraph(
+            e_from=jnp.pad(g.e_from, (0, pad)),
+            e_to=jnp.pad(g.e_to, (0, pad)),
+            R_rel=jnp.concatenate([g.R_rel, eye]),
+            t_rel=jnp.pad(g.t_rel, ((0, pad), (0, 0))),
+            weight=jnp.pad(g.weight, (0, pad)),
+            mask=jnp.pad(g.mask, (0, pad)))
+    g = pgo.PoseGraph(*(mesh_lib.shard_leading(mesh, a, axis) for a in g))
+    params = mesh_lib.replicated(mesh, params)
+    return pgo.optimize_pose_graph(params, g, cfg)
+
+
+def ba_sharded(mesh: Mesh, K, cam_params, points, obs, point_valid=None,
+               cfg=None, outer_iterations=None, axis: str = "data"):
+    """Alternating BA with the OBSERVATION axis sharded over the mesh
+    (reference alternatingBundleAdjustment, main.cpp:905-943): the per-
+    observation residual/Jacobian vmaps run on local shards; the segment-sum
+    scatters assembling each camera's 6x6 / each point's 3x3 normal
+    equations become local scatters + psum under GSPMD. Identical math to
+    ``ba.alternating_ba`` (equality-tested on the virtual mesh).
+    Observations pad with valid=False rows."""
+    from slam_loop_closing_tpu.config import BaConfig
+    from slam_loop_closing_tpu.ops import ba
+
+    cfg = cfg or BaConfig()
+    d = mesh.devices.size
+    o = obs.cam.shape[0]
+    pad = (-o) % d
+    if pad:
+        obs = ba.Observations(
+            cam=jnp.pad(obs.cam, (0, pad)),
+            point=jnp.pad(obs.point, (0, pad)),
+            uv=jnp.pad(obs.uv, ((0, pad), (0, 0))),
+            valid=jnp.pad(obs.valid, (0, pad)))
+    obs = ba.Observations(*(mesh_lib.shard_leading(mesh, a, axis)
+                            for a in obs))
+    K = mesh_lib.replicated(mesh, K)
+    cam_params = mesh_lib.replicated(mesh, cam_params)
+    points = mesh_lib.replicated(mesh, points)
+    if point_valid is not None:
+        point_valid = mesh_lib.replicated(mesh, point_valid)
+    return ba.alternating_ba(K, cam_params, points, obs, point_valid, cfg,
+                             outer_iterations)
+
+
+def sfm_reconstruct_sharded(mesh: Mesh, pipe, frames, axis: str = "data"):
+    """Tiny end-to-end Version-B SfM with every shardable stage sharded over
+    the mesh: DP front-end over frames, the (inherently serial, SURVEY.md §7)
+    keyframe scan on the sharded features, loop search, EDGE-sharded PGO,
+    OBSERVATION-sharded alternating BA, outlier removal, final BA —
+    reference main.cpp:1041-1685 on a device mesh. Mirrors the staged
+    single-device backend math exactly (equality-tested in
+    tests/test_parallel.py). ``frames`` count must divide the mesh size.
+
+    Returns (state, {"e0", "e1", "ef", "e2"}).
+    """
+    import numpy as np
+
+    from slam_loop_closing_tpu.ops import ba, pgo
+
+    frames = jnp.asarray(frames)
+    assert frames.shape[0] % mesh.devices.size == 0, (
+        "frame count must divide the mesh for the DP front-end")
+    frames_sh = mesh_lib.shard_leading(mesh, frames, axis)
+    state, _ = pipe.run_frontend_and_keyframes_scan(frames_sh)
+    loop = pipe.find_loop(state)
+
+    k = int(state.kf_count)
+    if loop.found:
+        state, _ = pipe._loop_obs_append(state, loop)
+        g = pgo.build_trajectory_graph(
+            state.poses[:k], jnp.asarray(loop.past_kf),
+            jnp.asarray(loop.curr_kf), jnp.asarray(loop.R_rel),
+            jnp.asarray(loop.t_rel), pipe.config.pgo.loop_edge_weight)
+        opt, _costs = pgo_sharded(mesh, state.poses[:k], g, pipe.config.pgo,
+                                  axis)
+        state = state._replace(poses=state.poses.at[:k].set(opt))
+
+    counts = jax.device_get((state.point_count, state.obs_count))
+    pb = pipe._bucket(int(counts[0]) + 1, state.points.shape[0])
+    nb = pipe._bucket(int(counts[1]) + 1, state.obs_cam.shape[0])
+    obs = ba.Observations(state.obs_cam[:nb], state.obs_point[:nb],
+                          state.obs_uv[:nb], state.obs_valid[:nb])
+    e0 = float(ba.mean_reprojection_error(pipe.K, state.poses, state.points,
+                                          obs))
+    cp, pts, errs1 = ba_sharded(mesh, pipe.K, state.poses, state.points[:pb],
+                                obs, state.point_valid[:pb], pipe.config.ba)
+    state = state._replace(poses=cp, points=state.points.at[:pb].set(pts))
+
+    from slam_loop_closing_tpu.ops import outliers as outliers_ops
+    k_mask = jnp.arange(state.poses.shape[0]) < state.kf_count
+    res = outliers_ops.remove_outliers(
+        pipe.K, state.poses, k_mask, state.points[:pb],
+        state.point_valid[:pb], obs, pipe.config.outlier)
+    state = state._replace(
+        point_valid=state.point_valid.at[:pb].set(res.point_valid),
+        obs_valid=state.obs_valid.at[:nb].set(res.obs_valid))
+    obs = obs._replace(valid=res.obs_valid)
+    ef = float(ba.mean_reprojection_error(pipe.K, state.poses, state.points,
+                                          obs))
+    cp2, pts2, errs2 = ba_sharded(mesh, pipe.K, state.poses,
+                                  state.points[:pb], obs,
+                                  state.point_valid[:pb], pipe.config.ba,
+                                  outer_iterations=3)
+    state = state._replace(poses=cp2, points=state.points.at[:pb].set(pts2))
+    metrics = {"e0": e0, "e1": float(np.asarray(errs1)[-1]), "ef": ef,
+               "e2": float(np.asarray(errs2)[-1]), "loop_found": loop.found,
+               "keyframes": k}
+    return state, metrics
+
+
+# ---------------------------------------------------------------------------
 # fanned-out pair verification
 # ---------------------------------------------------------------------------
 

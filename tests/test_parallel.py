@@ -80,6 +80,149 @@ class TestFrontend:
                                    np.asarray(local.keypoints.xy), atol=1e-4)
 
 
+class TestVersionBSharded:
+    """Version-B stages on the mesh (VERDICT r3 item 2): edge-sharded PGO,
+    observation-sharded BA, video-sharded multi-video detection, and the
+    tiny end-to-end reconstruction — each equal to its single-device twin."""
+
+    def test_pgo_sharded_matches_single(self, mesh8, rng):
+        from slam_loop_closing_tpu.config import PgoConfig
+        from slam_loop_closing_tpu.ops import lie, pgo
+
+        k = 13  # odd: exercises edge padding (12 + 1 loop edge -> pad to 16)
+        params = jnp.asarray(rng.normal(0, 0.1, (k, 6)), jnp.float32)
+        g = pgo.build_trajectory_graph(
+            params, jnp.asarray(1), jnp.asarray(k - 1),
+            jnp.asarray(np.asarray(lie.so3_exp(
+                jnp.asarray([0.05, -0.02, 0.01])))),
+            jnp.asarray([0.1, 0.0, -0.05], jnp.float32), 10.0)
+        cfg = PgoConfig()
+        ref, costs_ref = pgo.optimize_pose_graph(params, g, cfg)
+        got, costs = sharded.pgo_sharded(mesh8, params, g, cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(costs[-1]),
+                                   np.asarray(costs_ref[-1]), rtol=1e-5)
+
+    def test_ba_sharded_matches_single(self, mesh8, rng):
+        from slam_loop_closing_tpu.config import BaConfig
+        from slam_loop_closing_tpu.ops import ba, lie
+
+        # synthetic scene: 6 cameras observing 40 points
+        n_cam, n_pt = 6, 40
+        pts = jnp.asarray(rng.uniform(-1, 1, (n_pt, 3)) + [0, 0, 5],
+                          jnp.float32)
+        cams = jnp.asarray(rng.normal(0, 0.05, (n_cam, 6)), jnp.float32)
+        K = jnp.asarray([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+        oc, op = np.meshgrid(np.arange(n_cam), np.arange(n_pt),
+                             indexing="ij")
+        oc, op = oc.ravel(), op.ravel()
+        uv = jax.vmap(lambda c, p: ba._project_params(K, cams[c], pts[p]))(
+            jnp.asarray(oc), jnp.asarray(op))
+        uv = uv + jnp.asarray(rng.normal(0, 0.5, uv.shape), jnp.float32)
+        obs = ba.Observations(jnp.asarray(oc, jnp.int32),
+                              jnp.asarray(op, jnp.int32), uv,
+                              jnp.ones(len(oc), bool))
+        noisy = pts + jnp.asarray(rng.normal(0, 0.05, pts.shape),
+                                  jnp.float32)
+        cfg = BaConfig()
+        ref_c, ref_p, ref_e = ba.alternating_ba(K, cams, noisy, obs,
+                                                None, cfg)
+        got_c, got_p, got_e = sharded.ba_sharded(mesh8, K, cams, noisy, obs,
+                                                 None, cfg)
+        # the sharded normal-equation assembly psums per-shard partial sums,
+        # so float reduction order differs from the single-device scatter;
+        # over 5 accept/reject GN iterations that drifts parameters at the
+        # 1e-3-relative level (measured) — the quality metric (mean reproj
+        # per outer iteration) must agree tightly
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                                   rtol=5e-3, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e),
+                                   rtol=1e-3)
+
+    def test_process_videos_sharded_matches_batched(self, mesh8, rng):
+        import dataclasses
+
+        from slam_loop_closing_tpu.config import LoopConfig, PipelineConfig
+        from slam_loop_closing_tpu.models.loop_closing import (
+            LoopClosingSystem)
+        from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
+
+        cfg = dataclasses.replace(
+            PipelineConfig(),
+            orb=OrbConfig(num_features=100, num_levels=1),
+            loop=LoopConfig(loop_threshold=0.15, min_loop_gap=8,
+                            frame_skip=1))
+        videos = np.stack([
+            np.asarray(orbit_sequence(num_frames=16, h=96, w=128,
+                                      num_points=150, seed=s),
+                       np.float32) for s in (0, 1, 2)])  # V=3: pads to 8
+        ref = LoopClosingSystem.process_videos_batched(videos, cfg)
+        got = sharded.process_videos_sharded(mesh8, videos, cfg)
+        assert len(got) == len(ref) == 3
+        for a, b in zip(got, ref):
+            assert ([(c.current_frame_id, c.matched_frame_id,
+                      c.num_matches) for c in a]
+                    == [(c.current_frame_id, c.matched_frame_id,
+                         c.num_matches) for c in b])
+
+    def test_sfm_end_to_end_sharded(self, mesh8):
+        import dataclasses
+
+        from slam_loop_closing_tpu.config import (CameraConfig,
+                                                  KeyframeConfig,
+                                                  LoopVerifyConfig,
+                                                  PipelineConfig,
+                                                  RansacConfig)
+        from slam_loop_closing_tpu.models.sfm import SfMPipeline
+        from slam_loop_closing_tpu.utils.synth_video import orbit_sequence
+
+        cam = CameraConfig(fx=0.8 * 192, fy=0.8 * 192, cx=96.0, cy=72.0,
+                           k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
+        cfg = dataclasses.replace(
+            PipelineConfig(),
+            camera=cam,
+            orb=OrbConfig(num_features=300, num_levels=2),
+            keyframe=KeyframeConfig(min_median_displacement=2.0,
+                                    max_median_displacement=150.0,
+                                    min_tracked_features=40,
+                                    min_inlier_ratio=0.3, min_inliers=25),
+            loop_verify=LoopVerifyConfig(min_matches=40, min_inliers=30,
+                                         min_inlier_ratio=0.5,
+                                         min_pose_inliers=15),
+            ransac=RansacConfig(num_hypotheses=128),
+        )
+        frames = orbit_sequence(num_frames=24, h=144, w=192, num_points=250,
+                                seed=5)
+
+        def build():
+            return SfMPipeline(cfg, max_keyframes=32, max_points=8192,
+                               max_obs=32768, use_scan=True,
+                               log=lambda *a: None)
+
+        # single-device twin of the sharded composition (staged backend)
+        pipe1 = build()
+        s1, _ = pipe1.run_frontend_and_keyframes_scan(frames)
+        loop1 = pipe1.find_loop(s1)
+        s1 = pipe1.optimize(s1, loop1)
+        s1, errs1 = pipe1.bundle_adjust(s1)
+        s1 = pipe1.remove_outliers(s1)
+        s1, errs2 = pipe1.bundle_adjust(s1, outer_iterations=3)
+
+        pipe2 = build()
+        s2, m = sharded.sfm_reconstruct_sharded(mesh8, pipe2, frames)
+        assert m["loop_found"] == loop1.found
+        assert int(s2.kf_count) == int(s1.kf_count)
+        assert int(s2.point_count) == int(s1.point_count)
+        np.testing.assert_allclose(np.asarray(s2.poses),
+                                   np.asarray(s1.poses), atol=1e-3)
+        assert abs(m["e2"] - float(errs2[-1])) < 1e-2
+        assert (int(np.asarray(s2.point_valid).sum())
+                == int(np.asarray(s1.point_valid).sum()))
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
