@@ -91,8 +91,12 @@ def main(argv=None):
     staged(state_w, loop_w)
 
     def sync(x):
-        arr = jax.tree.leaves(x)[0]
-        np.asarray(np.ravel(np.asarray(arr))[:1])
+        # read one element of EVERY device leaf: a single leaf can be an
+        # input passthrough (e.g. state.kf_count through bundle_adjust),
+        # whose buffer is already materialized — reading it would time the
+        # enqueue, not the compute
+        for arr in jax.tree.leaves(x):
+            np.asarray(np.ravel(np.asarray(arr))[:1])
 
     t = {}
 
