@@ -1530,6 +1530,24 @@ def gauss_resp_halo(sigmas: tuple[float, ...]) -> int:
     return gauss_stack_halo(sigmas) + 4
 
 
+def _resp_tile_h(tile_h: int, rv: int, wp: int, w: int, n_out: int) -> int:
+    """Largest tile_h whose scoped-VMEM footprint fits Mosaic's 16 MiB
+    limit. Crude f32-bytes model of the fused kernel's live set — the DMA
+    window + the blur carry (both [tile_h + 2rv, wp]), the ~10 gate bands
+    (1 gauss + 3 DoG + 6 row3 sliding planes, [tile_h + 4, wp]), and the
+    double-buffered output blocks — plus ~30% for gate temporaries. The
+    model reproduces the compiler's measured 22.4 MiB at
+    tile_h=64/w=1920 and 11.5 MiB at tile_h=64/w=960 (which fits)."""
+    while tile_h > 8:
+        est = 4 * (2 * (tile_h + 2 * rv) * wp
+                   + 10 * (tile_h + 4) * wp
+                   + 2 * n_out * tile_h * w)
+        if est * 1.3 < 15.5 * 2 ** 20:
+            break
+        tile_h //= 2
+    return tile_h
+
+
 def _gauss_resp_call(img, sigmas, n_inner, thr_c, edge_r, border, tile_h,
                      interpret):
     batched = img.ndim == 3
@@ -1540,6 +1558,8 @@ def _gauss_resp_call(img, sigmas, n_inner, thr_c, edge_r, border, tile_h,
     rv = gauss_resp_halo(sigmas)
     assert rv < min(h, w), "halo exceeds image (octave too small for pallas)"
     lpad = -(-rv // 128) * 128
+    wp_est = w + 2 * lpad + ((-(w + 2 * lpad)) % 128)
+    tile_h = _resp_tile_h(tile_h, rv, wp_est, w, n_lvl + n_inner)
     padded = _gauss_prepad(img.astype(jnp.float32), rv, lpad, tile_h, h)
     wp = padded.shape[-1]
     hq = padded.shape[-2] - 2 * rv
