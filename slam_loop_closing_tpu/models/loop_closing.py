@@ -349,17 +349,25 @@ class LoopClosingSystem:
         pending["scores"] = (counts_d, sims_d)
         if idx >= cfg_l.min_loop_gap:
             # speculative re-triangulation (README.md:101-102) against the
-            # first-hit frame, selected on device from the scan scores; the
-            # result is used only if the readback confirms a hit
-            jstar, _ = _first_hit(counts_d, sims_d,
-                                  jnp.float32(cfg_l.loop_threshold),
-                                  jnp.int32(cfg_l.min_matches))
+            # first-hit frame, selected on device from the scan scores. The
+            # result applies only if the readback confirms the device saw a
+            # hit AND its jstar equals the host's first hit index (the
+            # device compare runs in float32, the host one in float64 — at a
+            # knife-edge similarity they can disagree, in which case the
+            # regeom was computed against the wrong frame and is redone
+            # explicitly below). Contract note: on a multi-loop frame only
+            # the FIRST hit is re-triangulated — the reference's own flow
+            # (README.md:101-102) re-triangulates once per frame.
+            jstar, anyhit = _first_hit(counts_d, sims_d,
+                                       jnp.float32(cfg_l.loop_threshold),
+                                       jnp.int32(cfg_l.min_matches))
             self._rng, key2 = jax.random.split(self._rng)
             pending["regeom"] = _pair_geometry_rows(
                 self._db_signed, self._db_valid, self._db_xy,
                 jnp.asarray(idx, jnp.int32), jstar, self.K, key2,
                 scale=mcfg.hamming_filter_scale, cfg=self.config.ransac,
                 radius=self._radius, tau=self._tau)
+            pending["regeom_target"] = (jstar, anyhit)
         out = jax.device_get(pending)  # the frame's single readback
 
         pose = np.eye(4)
@@ -384,7 +392,23 @@ class LoopClosingSystem:
         counts, sims = out["scores"]
         new_loops = self._emit_loops(idx, counts, sims)
         if new_loops and "regeom" in out:
-            count, _R, _t, ok, X, keep = out["regeom"]
+            jstar_h, anyhit_h = out["regeom_target"]
+            first = self._frame_ids.index(new_loops[0].matched_frame_id)
+            if bool(anyhit_h) and int(jstar_h) == first:
+                count, _R, _t, ok, X, keep = out["regeom"]
+            else:
+                # device/host threshold disagreement (f32 vs f64 compare at
+                # a knife-edge score): the speculative regeom targeted the
+                # wrong frame — redo it against the host's first hit (rare;
+                # costs one extra readback on this frame only)
+                self._rng, key3 = jax.random.split(self._rng)
+                count, _R, _t, ok, X, keep = jax.device_get(_pair_geometry(
+                    self._db_signed[idx], self._db_valid[idx],
+                    self._db_xy[idx], self._db_signed[first],
+                    self._db_valid[first], self._db_xy[first],
+                    self.K, key3, scale=mcfg.hamming_filter_scale,
+                    cfg=self.config.ransac, radius=self._radius,
+                    tau=self._tau))
             if int(count) >= self.config.ransac.min_points and bool(ok):
                 self.frames[idx].points3d = X[keep]
         return new_loops

@@ -38,6 +38,22 @@ def _is_tpu() -> bool:
 # Hamming row-min kernel: distances + nearest neighbor without HBM round-trip
 # ---------------------------------------------------------------------------
 
+# The NN kernels pin the ENTIRE padded target block in VMEM: [N, 256] int8
+# plus its bf16 cast and one [tile_m, tchunk] f32 dots tile. 32k target rows
+# keep that under ~12 MiB of the 16 MiB scoped-VMEM budget; larger target
+# sets must chunk through HBM (pl.ANY + DMA) instead — reject them with a
+# clear error rather than an opaque Mosaic VMEM failure (ADVICE r4).
+_NN_TARGET_MAX_ROWS = 32768
+
+
+def _check_nn_target_budget(np_: int, bits: int) -> None:
+    if np_ * bits > _NN_TARGET_MAX_ROWS * 256:
+        raise ValueError(
+            f"hamming_nn target set ({np_} x {bits}) exceeds the VMEM-"
+            f"resident budget ({_NN_TARGET_MAX_ROWS} x 256); chunk the "
+            "targets (see matching.banded_pair_counts_chunked) instead")
+
+
 def _hamming_nn_kernel(q_ref, t_ref, tvalid_ref, d1_ref, idx_ref):
     """One query tile [TM, 256] vs the FULL target set [N, 256] resident in
     VMEM: MXU matmul -> [TM, N] distances (VMEM only) -> masked row
@@ -92,6 +108,7 @@ def hamming_nn(signed_q: jax.Array, signed_t: jax.Array,
     if m_pad:
         signed_q = jnp.pad(signed_q, ((0, m_pad), (0, 0)))
     np_, mp = n + n_pad, m + m_pad
+    _check_nn_target_budget(np_, bits)
 
     grid = (mp // tile_m,)
     d1, idx = pl.pallas_call(
@@ -165,6 +182,7 @@ def hamming_nn_d1(signed_q: jax.Array, signed_t: jax.Array,
     if m_pad:
         signed_q = jnp.pad(signed_q, ((0, m_pad), (0, 0)))
     np_, mp = n + n_pad, m + m_pad
+    _check_nn_target_budget(np_, bits)
     tchunk = np_
     for cand in (2048, 1024, 512, 256, 128):
         if np_ % cand == 0 and np_ > cand:
@@ -1548,8 +1566,65 @@ def _resp_tile_h(tile_h: int, rv: int, wp: int, w: int, n_out: int) -> int:
     return tile_h
 
 
+# (image shape, sigmas, gate params, modeled tile) -> probed tile_h. The
+# probe compiles once per entry; the persistent compilation cache makes the
+# later real compile (the same program embedded in the caller's jit) cheap.
+_RESP_TILE_CACHE: dict = {}
+
+
+def _probe_compile_resp(shape, sigmas, n_inner, thr_c, edge_r, border,
+                        tile_h) -> None:
+    """AOT-compile the fused stack+response kernel at ``tile_h`` for an
+    image of ``shape`` — raises if Mosaic rejects the tile (VMEM
+    over-subscription surfaces only at compile time)."""
+    fn = functools.partial(_gauss_resp_fixed, sigmas=sigmas,
+                           n_inner=n_inner, thr_c=thr_c, edge_r=edge_r,
+                           border=border, tile_h=tile_h, interpret=False)
+    jax.jit(fn).lower(jax.ShapeDtypeStruct(shape, jnp.float32)).compile()
+
+
+def _resolve_resp_tile(shape, sigmas, n_inner, thr_c, edge_r, border,
+                       tile_h, interpret) -> int:
+    """``_resp_tile_h``'s modeled tile hardened by a compile probe: try the
+    estimate, and if Mosaic rejects it (the model under-predicted the live
+    set at an uncalibrated width), halve and retry until a tile compiles
+    (ADVICE r4 / VERDICT r4 #9 — the model alone either failed hard or
+    silently under-tiled at unseen resolutions). Cached per shape/config."""
+    h, w = shape[-2:]
+    n_lvl = len(_gauss_weights(sigmas))
+    rv = gauss_resp_halo(sigmas)
+    lpad = -(-rv // 128) * 128
+    wp_est = w + 2 * lpad + ((-(w + 2 * lpad)) % 128)
+    tile = _resp_tile_h(tile_h, rv, wp_est, w, n_lvl + n_inner)
+    if interpret or not _is_tpu():
+        return tile  # interpret mode has no scoped-VMEM limit to probe
+    key = (tuple(shape), sigmas, n_inner, thr_c, edge_r, border, tile)
+    hit = _RESP_TILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    while tile > 8:
+        try:
+            _probe_compile_resp(tuple(shape), sigmas, n_inner, thr_c,
+                                edge_r, border, tile)
+            break
+        except Exception:
+            tile //= 2
+    _RESP_TILE_CACHE[key] = tile
+    return tile
+
+
 def _gauss_resp_call(img, sigmas, n_inner, thr_c, edge_r, border, tile_h,
                      interpret):
+    tile_h = _resolve_resp_tile(img.shape, sigmas, n_inner, thr_c, edge_r,
+                                border, tile_h, interpret)
+    return _gauss_resp_fixed(img, sigmas, n_inner, thr_c, edge_r, border,
+                             tile_h, interpret)
+
+
+def _gauss_resp_fixed(img, sigmas, n_inner, thr_c, edge_r, border, tile_h,
+                      interpret):
+    """The fused stack+response pallas_call at a FIXED tile_h (no VMEM
+    model — ``_gauss_resp_call`` resolves the tile first)."""
     batched = img.ndim == 3
     h, w = img.shape[-2:]
     kernels = _gauss_weights(sigmas)
@@ -1558,8 +1633,6 @@ def _gauss_resp_call(img, sigmas, n_inner, thr_c, edge_r, border, tile_h,
     rv = gauss_resp_halo(sigmas)
     assert rv < min(h, w), "halo exceeds image (octave too small for pallas)"
     lpad = -(-rv // 128) * 128
-    wp_est = w + 2 * lpad + ((-(w + 2 * lpad)) % 128)
-    tile_h = _resp_tile_h(tile_h, rv, wp_est, w, n_lvl + n_inner)
     padded = _gauss_prepad(img.astype(jnp.float32), rv, lpad, tile_h, h)
     wp = padded.shape[-1]
     hq = padded.shape[-2] - 2 * rv

@@ -178,7 +178,7 @@ def _detect_octave(img: jax.Array, octave: int, budget: int,
 
     if cfg.grid_cell > 0:
         # One keypoint per spatial cell, max over scale: the top-K input
-        # shrinks (S+2)*cell^2-fold (a flat top-K over the 10M-element
+        # shrinks S*cell^2-fold (a flat top-K over the 10M-element
         # 1080p DoG stack costs ~ms; TPU top_k scales with n), and
         # multi-scale duplicates of the same blob collapse to one.
         cell = cfg.grid_cell

@@ -417,3 +417,39 @@ class TestGaussStackRespKernel:
                                        atol=1e-6)
             np.testing.assert_array_equal(np.asarray(rb[i]),
                                           np.asarray(r1))
+
+    def test_tile_probe_recovers_from_model_overestimate(self, monkeypatch):
+        """If `_resp_tile_h`'s VMEM model over-estimates the fitting tile at
+        an uncalibrated resolution, the compile probe must halve until a
+        tile compiles instead of failing hard (VERDICT r4 #9 / ADVICE r4)."""
+        from slam_loop_closing_tpu.config import SiftConfig
+        from slam_loop_closing_tpu.ops import sift
+
+        cfg = SiftConfig()
+        s = cfg.scales_per_octave
+        sig = sift._chain_sigmas(s, cfg.sigma0)
+        attempts = []
+
+        def fake_probe(shape, sigmas, n_inner, thr_c, edge_r, border,
+                       tile_h):
+            attempts.append(tile_h)
+            if tile_h > 16:  # pretend Mosaic rejects tiles above 16
+                raise RuntimeError("Mosaic: scoped VMEM limit exceeded")
+
+        monkeypatch.setattr(pallas_kernels, "_probe_compile_resp",
+                            fake_probe)
+        monkeypatch.setattr(pallas_kernels, "_resp_tile_h",
+                            lambda tile_h, *a: 64)  # model over-estimates
+        monkeypatch.setattr(pallas_kernels, "_is_tpu", lambda: True)
+        monkeypatch.setattr(pallas_kernels, "_RESP_TILE_CACHE", {})
+
+        tile = pallas_kernels._resolve_resp_tile(
+            (128, 256), sig, s, cfg.contrast_threshold / s,
+            cfg.edge_threshold, sift._BORDER, 64, interpret=False)
+        assert tile == 16
+        assert attempts == [64, 32, 16]
+        # second resolve is served from the cache — no further probes
+        tile2 = pallas_kernels._resolve_resp_tile(
+            (128, 256), sig, s, cfg.contrast_threshold / s,
+            cfg.edge_threshold, sift._BORDER, 64, interpret=False)
+        assert tile2 == 16 and attempts == [64, 32, 16]
