@@ -45,8 +45,11 @@ def main():
     _PAD = pk._PAD
     taps = tuple(float(v) for v in pk._blur_taps_f32(2.0, 3))
 
-    def kernel(img_hbm, score_ref, blur_ref, block_ref, sem, *, mode,
-               threshold, h, w, tile_h, chunk_area):
+    def kernel(img_hbm, *refs, mode, threshold, h, w, tile_h, chunk_area):
+        if mode in ("cellout", "cellout2"):
+            score_ref, resp_ref, blur_ref, block_ref, sem = refs
+        else:
+            (score_ref, blur_ref, block_ref, sem), resp_ref = refs, None
         b = pl.program_id(0)
         i = pl.program_id(1)
         nt = pl.num_programs(1)
@@ -95,6 +98,17 @@ def main():
             def shifted(dy, dx):
                 if mode == "aligned":
                     dy = dx = 0
+                elif mode == "dxonly":     # lane shifts only (wrong values)
+                    dy = 0
+                elif mode == "dyonly":     # sublane shifts only (wrong)
+                    dx = 0
+                if mode == "refview":
+                    # read the shifted window straight from the VMEM ref:
+                    # the load unit may absorb the sublane offset
+                    return block_ref[slot, 7 + dy: 7 + dy + the,
+                                     _PAD - 1 + dx + c0:
+                                     _PAD - 1 + dx + c0 + cwe].astype(
+                                         jnp.bfloat16)
                 return bb[7 + dy: 7 + dy + the,
                           _PAD - 1 + dx + c0: _PAD - 1 + dx + c0 + cwe]
 
@@ -138,7 +152,9 @@ def main():
             zero = jnp.float32(0.0) if mode == "f32" else jnp.bfloat16(0.0)
             score = jnp.where(interior, score, zero).astype(jnp.float32)
 
-            if mode in ("sepnms",):
+            if mode == "nonms":
+                out = score[1:1 + tile_h, 1:1 + cw_c]
+            elif mode in ("sepnms",):
                 cm = jnp.maximum(jnp.maximum(score[:, 0:cw_c],
                                              score[:, 1:cw_c + 1]),
                                  score[:, 2:cw_c + 2])
@@ -161,10 +177,76 @@ def main():
                                      else jnp.maximum(local_max, s))
                 ctr = score[1:1 + tile_h, 1:1 + cw_c]
                 out = jnp.where(ctr >= local_max, ctr, 0.0)
-            score_ref[0, :, c0:c0 + cw_c] = out
+            if mode == "cellout":
+                # in-kernel grid-cell (8x8) packed-argmax row reduction:
+                # replaces the full score-map output + the XLA select pass
+                cell = 8
+                border = 19
+                posbits = 6
+                posmask = 63
+                ys2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, cw_c), 0) + row0
+                xs2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, cw_c), 1) + c0
+                okb = ((ys2 >= border) & (ys2 < h - border)
+                       & (xs2 >= border) & (xs2 < w - border))
+                outm = jnp.where(okb, out, 0.0)
+                invpos = ((cell * cell - 1)
+                          - (ys2 % cell) * cell - (xs2 % cell))
+                bits = jax.lax.bitcast_convert_type(outm, jnp.int32)
+                packed = jnp.where(outm > 0.0,
+                                   (bits & ~posmask) | invpos, 0)
+                prow = jnp.max(packed.reshape(tile_h // cell, cell, cw_c),
+                               axis=1)
+                frow = jnp.max(outm.reshape(tile_h // cell, cell, cw_c),
+                               axis=1)
+                score_ref[0, :, c0:c0 + cw_c] = prow
+                resp_ref[0, :, c0:c0 + cw_c] = frow
+            elif mode == "cellout2":
+                # roll-based blocked max: sliding max via 3 doubling rolls
+                # (pulling from below), then the block heads at stride 8 —
+                # avoids the reshape-max relayouts cellout pays
+                cell = 8
+                border = 19
+                posmask = 63
+                ys2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, cw_c), 0) + row0
+                xs2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, cw_c), 1) + c0
+                okb = ((ys2 >= border) & (ys2 < h - border)
+                       & (xs2 >= border) & (xs2 < w - border))
+                outm = jnp.where(okb, out, 0.0)
+                invpos = ((cell * cell - 1)
+                          - (ys2 % cell) * cell - (xs2 % cell))
+                bits = jax.lax.bitcast_convert_type(outm, jnp.int32)
+                packed = jnp.where(outm > 0.0,
+                                   (bits & ~posmask) | invpos, 0)
+
+                def slide_take(x, axis, size):
+                    s = x
+                    for sh in (1, 2, 4):
+                        s = jnp.maximum(s, pltpu.roll(s, size - sh,
+                                                      axis=axis))
+                    idx = [slice(None)] * s.ndim
+                    idx[axis] = slice(0, None, cell)
+                    return s[tuple(idx)]
+
+                prow = slide_take(packed, 0, tile_h)       # [TH/8, cw_c]
+                pcell = slide_take(prow, 1, cw_c)          # [TH/8, cw_c/8]
+                frow = slide_take(outm, 0, tile_h)
+                fcell = slide_take(frow, 1, cw_c)
+                score_ref[0, :, c0 // cell:(c0 + cw_c) // cell] = pcell
+                resp_ref[0, :, c0 // cell:(c0 + cw_c) // cell] = fcell
+            else:
+                score_ref[0, :, c0:c0 + cw_c] = out
 
             r = 3
-            if mode == "aligned":
+            if mode == "noblur":
+                blur_ref[0, :, c0:c0 + cw_c] = block[
+                    8:8 + tile_h, _PAD + c0:_PAD + c0 + cw_c].astype(
+                        jnp.float32)
+                return
+            elif mode == "aligned":
                 v = taps[0] * block[8: 8 + tile_h,
                                     _PAD + c0:_PAD + c0 + cw_c + 2 * r]
                 for j in range(1, 2 * r + 1):
@@ -190,63 +272,105 @@ def main():
             c0 = c * cw
             compute_chunk(c0, min(cw, w - c0))
 
-    def call(imgs, mode, tile_h, chunk_area=pk._FAST_CHUNK_AREA):
+    def call(imgs, mode, tile_h, chunk_area=pk._FAST_CHUNK_AREA):  # noqa: ANN001
         b, h, w = imgs.shape
         hp = (-h) % tile_h
         wp_extra = (-(w + 2 * _PAD)) % 128
         padded = jnp.pad(imgs, ((0, 0), (_PAD, _PAD + hp),
                                 (_PAD, _PAD + wp_extra)))
+        if mode == "cellout2":
+            rows = (h + hp) // 8
+            out_specs = [
+                pl.BlockSpec((1, tile_h // 8, w // 8),
+                             lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_h // 8, w // 8),
+                             lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((b, rows, w // 8), jnp.int32),
+                jax.ShapeDtypeStruct((b, rows, w // 8), jnp.float32),
+                jax.ShapeDtypeStruct((b, h + hp, w), imgs.dtype),
+            ]
+        elif mode == "cellout":
+            rows = (h + hp) // 8
+            out_specs = [
+                pl.BlockSpec((1, tile_h // 8, w), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_h // 8, w), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((b, rows, w), jnp.int32),
+                jax.ShapeDtypeStruct((b, rows, w), jnp.float32),
+                jax.ShapeDtypeStruct((b, h + hp, w), imgs.dtype),
+            ]
+        else:
+            out_specs = [pl.BlockSpec((1, tile_h, w),
+                                      lambda bi, i: (bi, i, 0),
+                                      memory_space=pltpu.VMEM)] * 2
+            out_shape = [jax.ShapeDtypeStruct((b, h + hp, w),
+                                              imgs.dtype)] * 2
         out = pl.pallas_call(
             functools.partial(kernel, mode=mode, threshold=20.0 / 255.0,
                               h=h, w=w, tile_h=tile_h,
                               chunk_area=chunk_area),
             grid=(b, (h + hp) // tile_h),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=[pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
-                                    memory_space=pltpu.VMEM)] * 2,
-            out_shape=[jax.ShapeDtypeStruct((b, h + hp, w),
-                                            imgs.dtype)] * 2,
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((2, tile_h + 16, w + 2 * _PAD + wp_extra),
                            imgs.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )(padded)
-        return tuple(o[:, :h] for o in out)
+        return tuple(o[:, :h] if o.shape[1] == h + hp else o
+                     for o in out)
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((B, H, W)), jnp.float32)
 
     def timed(name, fn, reps=20):
+        fn = jax.jit(fn)  # one program per call; eager per-op dispatches
+        #                   pay the ~40 ms RTT each on this runtime
         try:
-            out = fn()
+            out = fn(imgs)
             np.asarray(out[0].ravel()[:2])
         except Exception as e:
             print(json.dumps({"variant": name,
-                              "error": str(e)[:200]}))
+                              "error": str(e)[:300]}), flush=True)
             return
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn()
+            out = fn(imgs)
         np.asarray(out[0].ravel()[:2])
         dt = (time.perf_counter() - t0) / reps / B * 1e3
         print(json.dumps({"variant": name, "ms_per_frame": round(dt, 4)}),
               flush=True)
 
     # production reference point
-    timed("repo_full_128", lambda: pk._fast_call_batched(
-        imgs, 20.0 / 255.0, 128, False, taps))
+    timed("repo_full_128", lambda x: pk._fast_call_batched(
+        x, 20.0 / 255.0, 128, False, taps))
 
     plans = [
-        ("full", 128), ("full", 216), ("full", 272),
-        ("sepnms", 128), ("sepnms", 216),
-        ("aligned", 128), ("dma", 128), ("f32", 128),
+        ("full", 128),
+        ("sepnms", 128), ("f32", 128),
+        ("aligned", 128), ("dma", 128),
+        ("dxonly", 128), ("dyonly", 128), ("refview", 128),
+        ("nonms", 128), ("noblur", 128), ("cellout", 128),
+        ("cellout2", 128),
     ]
     for mode, tile in plans:
         name = f"{mode}_{tile}"
         if VARIANTS and name not in VARIANTS:
             continue
-        timed(name, functools.partial(call, imgs, mode, tile))
+        timed(name, functools.partial(call, mode=mode, tile_h=tile))
 
 
 if __name__ == "__main__":

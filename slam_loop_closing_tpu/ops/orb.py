@@ -262,14 +262,21 @@ def brief_from_patches_binned(patches: jax.Array, angle: jax.Array,
                               valid: jax.Array, D: jax.Array) -> jax.Array:
     """Rotated-BRIEF bits via quantized rotation + difference matmuls:
     [K, 256] uint8. For each orientation bin, the keypoints in that bin are
-    masked into a [K, P*P] @ [P*P, 256] MXU matmul against the bin's
+    run through a [K, P*P] @ [P*P, 256] MXU matmul against the bin's
     DIFFERENCE matrix (+1 at each pair's point B, -1 at point A — see
-    :func:`brief_matrices`), accumulating one [K, 256] table of
+    :func:`brief_matrices`), producing one [K, 256] table of
     ``sample_B - sample_A``; ``bit = diff > 0``. Half the FLOPs of sampling
     A and B separately, and provably the same bits: the ±1 columns are
     exact in bf16 and each dot is the f32 difference of the two
     bf16-rounded pixels, whose sign equals the direct comparison's.
-    No gathers anywhere."""
+    No gathers anywhere.
+
+    The per-bin GEMMs run UNMASKED and the bin mask selects among the
+    [K, 256] OUTPUTS (``where(bins == b, dot, diff)``): masking the
+    [K, 1024] INPUT instead materializes 30 masked copies of the patch
+    block — 4x the per-bin mask traffic — and measured 1.8x slower at the
+    1080p headline shape (benchmarks/exp_frontend_xla.py). Bitwise the
+    same bits either way."""
     k = patches.shape[0]
     num_bins = D.shape[0]
     flat = patches.reshape(k, -1).astype(jnp.bfloat16)
@@ -277,12 +284,12 @@ def brief_from_patches_binned(patches: jax.Array, angle: jax.Array,
     bins = jnp.mod(jnp.round(angle / step).astype(jnp.int32), num_bins)
     diff = jnp.zeros((k, 256), jnp.float32)
     for b in range(num_bins):
-        masked = jnp.where((bins == b)[:, None], flat, jnp.bfloat16(0))
-        diff = diff + jax.lax.dot_general(
-            masked, D[b].astype(jnp.bfloat16),
+        dot = jax.lax.dot_general(
+            flat, D[b].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
+        diff = jnp.where((bins == b)[:, None], dot, diff)
     bits = (diff > 0.0).astype(jnp.uint8)
     return jnp.where(valid[:, None], bits, jnp.uint8(0))
 
@@ -341,10 +348,17 @@ def detect_and_describe(img: jax.Array, cfg: OrbConfig = OrbConfig(),
     for lvl, (level_img, budget) in enumerate(zip(levels, budgets)):
         if budget <= 0:
             continue
-        parts.append(_detect_level(level_img, lvl, budget, pattern, cfg))
+        parts.append(_detect_level(level_img, lvl, budget, cfg))
 
     cat = lambda *xs: jnp.concatenate(xs, axis=0)
-    xy, resp, ang, octv, val, bits = jax.tree.map(cat, *parts)
+    xy, resp, octv, val, patches = jax.tree.map(cat, *parts)
+    # Orientation + BRIEF run ONCE over the concatenated all-level patch
+    # set: identical values to per-level runs (both are row-independent),
+    # but the 30 bin GEMMs execute once at [num_features, 1024] instead of
+    # num_levels times at small-K shapes — fewer, better-shaped MXU calls.
+    mw = jnp.asarray(_orientation_moment_weights())
+    ang = orientation_from_patches(patches, val, mw)
+    bits = brief_from_patches_binned(patches, ang, val, pattern)
     packed = desc_ops.bits_to_packed(bits)
     # Invalid rows are all-zero in the signed layout so padded descriptors
     # contribute dot = 0 in the Hamming matmul (matching.py's contract).
@@ -356,7 +370,10 @@ def detect_and_describe(img: jax.Array, cfg: OrbConfig = OrbConfig(),
 
 @functools.partial(jax.jit, static_argnames=("level", "budget", "cfg"))
 def _detect_level(level_img: jax.Array, level: int, budget: int,
-                  pattern: jax.Array, cfg: OrbConfig):
+                  cfg: OrbConfig):
+    """Per-level detection + patch extraction: (xy level0, response,
+    octave, valid, patches). Orientation and BRIEF run later on the
+    concatenated all-level patch set (see :func:`detect_and_describe`)."""
     thr = cfg.fast_threshold / 255.0
     # ONE patch extraction from the blurred level serves both the
     # orientation moments and the binned-rotation BRIEF matmuls (the
@@ -370,13 +387,10 @@ def _detect_level(level_img: jax.Array, level: int, budget: int,
         nms_radius=cfg.nms_radius, border=cfg.border,
         grid_cell=cfg.grid_cell, blur_sigma=2.0, blur_radius=3)
     patches = extract_patches_fast(blurred, xy)
-    mw = jnp.asarray(_orientation_moment_weights())
-    ang = orientation_from_patches(patches, valid, mw)
-    bits = brief_from_patches_binned(patches, ang, valid, pattern)
     scale = cfg.scale_factor ** level
     xy0 = xy * scale
     octv = jnp.full(xy.shape[:1], level, jnp.int32)
-    return xy0, resp, ang, octv, valid, bits
+    return xy0, resp, octv, valid, patches
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
