@@ -413,6 +413,30 @@ class LoopClosingSystem:
                 self.frames[idx].points3d = X[keep]
         return new_loops
 
+    def process_stream(self, frames, frame_ids: list[int] | None = None):
+        """Live frame-at-a-time processing with a double-buffered upload:
+        frame ``k+1``'s host->device transfer runs (on a worker thread)
+        while :meth:`process_frame` blocks on frame ``k``'s readback, so the
+        serial ~2 MB uint8 upload leaves the per-frame critical path. Yields
+        ``(frame_id, loops)`` per frame — the loop set is identical to
+        calling :meth:`process_frame` in a plain loop (the pipelining is
+        host-side only; no device program is reordered).
+
+        This is the latency-oriented form of the live ``processFrame`` API
+        (loop_closing.hpp:34) for callers with a frame source that can be
+        read one frame ahead (a camera feed or decoded video)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(frames)
+        ids = frame_ids if frame_ids is not None else [None] * n
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(jax.device_put, frames[0]) if n else None
+            for i in range(n):
+                cur = fut.result()
+                if i + 1 < n:
+                    fut = ex.submit(jax.device_put, frames[i + 1])
+                yield ids[i], self.process_frame(cur, frame_id=ids[i])
+
     def _scan_scores(self, idx: int):
         """Enqueue the banded loop scan of frame ``idx`` (device values +
         the scan bucket). Bucketed prefix: score only against a power-of-two

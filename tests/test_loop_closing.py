@@ -217,6 +217,29 @@ class TestIncremental:
                  for c in b.get_loop_closures()}
         assert set_a == set_b
 
+    def test_stream_matches_plain_incremental(self, small_cfg, orbit_frames):
+        """process_stream (double-buffered uploads) must yield the same loop
+        set as plain process_frame calls — the pipelining is host-side only
+        and reorders no device program."""
+        a = LoopClosingSystem(small_cfg, max_frames=32)
+        for i in range(orbit_frames.shape[0]):
+            a.process_frame(orbit_frames[i])
+        set_a = {(c.current_frame_id, c.matched_frame_id)
+                 for c in a.get_loop_closures()}
+
+        b = LoopClosingSystem(small_cfg, max_frames=32)
+        per_frame = list(b.process_stream(orbit_frames,
+                                          frame_ids=list(range(32))))
+        assert [fid for fid, _ in per_frame] == list(range(32))
+        set_b = {(c.current_frame_id, c.matched_frame_id)
+                 for c in b.get_loop_closures()}
+        assert set_a == set_b
+        # yielded per-frame loops must concatenate to the full record
+        flat = [c for _, loops in per_frame for c in loops]
+        assert [(c.current_frame_id, c.matched_frame_id) for c in flat] == \
+            [(c.current_frame_id, c.matched_frame_id)
+             for c in b.get_loop_closures()]
+
     def test_pose_estimated_between_consecutive(self, small_cfg,
                                                 orbit_frames):
         sys_ = LoopClosingSystem(small_cfg, max_frames=8)
