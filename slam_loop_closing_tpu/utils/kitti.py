@@ -47,24 +47,48 @@ def load_gt_poses(root: str | Path, seq: str = "00") -> np.ndarray | None:
     return rows.reshape(-1, 3, 4)
 
 
+_CODE_SHIFT = 1 << 21  # > any frame index; packs (i, j) into one int64
+
+
+def _pair_codes(pairs) -> np.ndarray:
+    arr = np.asarray(list(pairs), dtype=np.int64).reshape(-1, 2)
+    return arr[:, 0] * _CODE_SHIFT + arr[:, 1]
+
+
+def _dilated_codes(pairs, tol: int) -> np.ndarray:
+    """Sorted unique codes of every (i+di, j+dj) within the tol window —
+    the tolerance dilation done ONCE on the (small) set instead of once per
+    query (the per-query form is O(|gt| x |pred|): hours at the 9.8M-pair
+    KITTI band)."""
+    arr = np.asarray(list(pairs), dtype=np.int64).reshape(-1, 2)
+    offs = np.arange(-tol, tol + 1, dtype=np.int64)
+    di, dj = np.meshgrid(offs, offs, indexing="ij")
+    cand = (arr[:, None, None, :]
+            + np.stack([di, dj], axis=-1)[None]).reshape(-1, 2)
+    return np.unique(cand[:, 0] * _CODE_SHIFT + cand[:, 1])
+
+
 def loop_recall(pred_pairs, gt_pairs, tol: int = 5) -> float:
     """Fraction of ground-truth loop pairs (i, j) for which some predicted
     pair (i', j') lies within ``tol`` frames on both indices. Place
     recognition credits a detection that fires a few frames early/late at
     the same revisit — the standard tolerance-windowed recall. Returns 0.0
     when there are no ground-truth pairs."""
-    gt = list(gt_pairs)
-    if not gt:
+    gt = np.asarray(list(gt_pairs), dtype=np.int64).reshape(-1, 2)
+    if gt.size == 0:
         return 0.0
     pred = np.asarray(list(pred_pairs), dtype=np.int64).reshape(-1, 2)
     if pred.size == 0:
         return 0.0
-    hit = 0
-    for (i, j) in gt:
-        d = np.abs(pred - [i, j]).max(axis=1)
-        if (d <= tol).any():
-            hit += 1
-    return hit / len(gt)
+    # a gt pair hits iff any cell of ITS tol-window is a predicted pair:
+    # [|gt|, (2tol+1)^2] window codes against the sorted pred codes —
+    # O((|gt| * tol^2 + |pred|) log |pred|) instead of O(|gt| * |pred|)
+    offs = np.arange(-tol, tol + 1, dtype=np.int64)
+    di, dj = np.meshgrid(offs, offs, indexing="ij")
+    win = (gt[:, None, None, 0] + di[None]) * _CODE_SHIFT \
+        + (gt[:, None, None, 1] + dj[None])
+    hit = np.isin(win.reshape(len(gt), -1), _pair_codes(pred)).any(axis=1)
+    return float(hit.sum()) / len(gt)
 
 
 def loop_precision(pred_pairs, gt_pairs, tol: int = 5) -> float:
@@ -77,12 +101,8 @@ def loop_precision(pred_pairs, gt_pairs, tol: int = 5) -> float:
     gt = np.asarray(list(gt_pairs), dtype=np.int64).reshape(-1, 2)
     if gt.size == 0:
         return 0.0
-    hit = 0
-    for (i, j) in pred:
-        d = np.abs(gt - [i, j]).max(axis=1)
-        if (d <= tol).any():
-            hit += 1
-    return hit / len(pred)
+    hit = np.isin(_pair_codes(pred), _dilated_codes(gt, tol))
+    return float(hit.sum()) / len(pred)
 
 
 def gt_loop_pairs(poses: np.ndarray, dist_thresh: float = 10.0,
