@@ -129,8 +129,8 @@ def hamming_nn(signed_q: jax.Array, signed_t: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+            _out_struct((mp, 1), jnp.int32, signed_q),
+            _out_struct((mp, 1), jnp.int32, signed_q),
         ],
         interpret=interpret,
     )(signed_q, signed_t, valid_t.astype(jnp.int32)[None, :])
@@ -317,9 +317,9 @@ def _knn2_call(kernel, q, t, valid_t, tile_m, interpret, d_dtype):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, 1), d_dtype),
-            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((mp, 1), d_dtype),
+            _out_struct((mp, 1), d_dtype, q),
+            _out_struct((mp, 1), jnp.int32, q),
+            _out_struct((mp, 1), d_dtype, q),
         ],
         interpret=interpret,
     )(q, t, valid_t.astype(jnp.int32)[None, :])
@@ -511,7 +511,7 @@ def banded_pair_counts_fused(signed: jax.Array, valid: jax.Array,
                                    lambda p, q, qi, ti: (p, q, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((p_cnt, rows, block), jnp.int32),
+        out_shape=_out_struct((p_cnt, rows, block), jnp.int32, sblocks),
         interpret=interpret,
     )(qidx, tidx, sblocks, sblocks, vblocks)
 
@@ -701,7 +701,7 @@ def motion_support_pallas(xy_q: jax.Array, xy_t_matched: jax.Array,
         ],
         out_specs=pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        out_shape=_out_struct((mp, 1), jnp.int32, qp),
         interpret=interpret,
     )(qp, tp, maskp, rt)
     # exclude self-support so padding/isolated matches score 0 (the XLA
@@ -939,7 +939,7 @@ def _fast_call_single(img, threshold, tile_h, interpret, blur_taps=()):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((tile_h, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((h + hp, w), img.dtype)] * n_out,
+        out_shape=[_out_struct((h + hp, w), img.dtype, img)] * n_out,
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 16, w + 2 * _PAD + wp_extra), img.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -963,7 +963,7 @@ def _fast_call_batched(imgs, threshold, tile_h, interpret, blur_taps=()):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                                 memory_space=pltpu.VMEM)] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((b, h + hp, w), imgs.dtype)] * n_out,
+        out_shape=[_out_struct((b, h + hp, w), imgs.dtype, imgs)] * n_out,
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 16, w + 2 * _PAD + wp_extra), imgs.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1181,7 +1181,7 @@ def _patch_call_single(img, xy, chunk, interpret, patch=_P32,
                             _patch_win_w(patch)), img.dtype),
                 pltpu.SemaphoreType.DMA((_RING,)),
             ]),
-        out_shape=jax.ShapeDtypeStruct((kp, patch, patch), img.dtype),
+        out_shape=_out_struct((kp, patch, patch), img.dtype, img),
         interpret=interpret,
     )(packed, _patch_pad_image(img, h, w, patch))
     return out[:k]
@@ -1218,8 +1218,7 @@ def _patch_call_batched(imgs, xys, chunk, interpret, patch=_P32,
                                 _patch_win_w(patch)), ims.dtype),
                     pltpu.SemaphoreType.DMA((_RING,)),
                 ]),
-            out_shape=jax.ShapeDtypeStruct((gb, kp, patch, patch),
-                                           ims.dtype),
+            out_shape=_out_struct((gb, kp, patch, patch), ims.dtype, ims),
             interpret=interpret,
         )(pk.reshape(-1), ims)
 
@@ -1361,12 +1360,12 @@ def _gauss_call(img, sigmas, tile_h, interpret):
         grid = (b, tiles)
         out_specs = [pl.BlockSpec((1, tile_h, w), lambda bi, i: (bi, i, 0),
                                   memory_space=pltpu.VMEM)] * n_lvl
-        out_shape = [jax.ShapeDtypeStruct((b, hq, w), jnp.float32)] * n_lvl
+        out_shape = [_out_struct((b, hq, w), jnp.float32, img)] * n_lvl
     else:
         grid = (tiles,)
         out_specs = [pl.BlockSpec((tile_h, w), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)] * n_lvl
-        out_shape = [jax.ShapeDtypeStruct((hq, w), jnp.float32)] * n_lvl
+        out_shape = [_out_struct((hq, w), jnp.float32, img)] * n_lvl
     outs = pl.pallas_call(
         kern,
         grid=grid,
