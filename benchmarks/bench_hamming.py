@@ -43,7 +43,7 @@ def main(m=8192, n=8192, reps=400):
         # mask + one max instead of the full distance transform
         return pallas_kernels.hamming_nn_d1(a, b, vt)
 
-    def timed(fn):
+    def timed_once(fn):
         # sync by forced host readback: block_until_ready does not
         # reliably synchronize on this axon runtime (docs/PERFORMANCE.md
         # "Profiling method"), and reps must amortize the ~40 ms dispatch
@@ -56,6 +56,12 @@ def main(m=8192, n=8192, reps=400):
         np.asarray(out[:2])
         return (time.perf_counter() - t0) / reps
 
+    def timed(fn, meas=5):
+        # this device's run-to-run throughput swings +-25% (round-5
+        # interleaved A/B measurements, benchmarks/exp_hamming.py): take
+        # the median of several interleavable measurements
+        return float(np.median([timed_once(fn) for _ in range(meas)]))
+
     xla = m * n / timed(dist_min) / 1e9
     fused = m * n / timed(dist_min_fused) / 1e9
     gpairs = max(xla, fused)
@@ -66,6 +72,11 @@ def main(m=8192, n=8192, reps=400):
         "vs_baseline": None,
         "xla_matrix_gpairs": round(xla, 2),
         "fused_pallas_nn_gpairs": round(fused, 2),
+        "note": ("dense-square winner is the XLA matmul+row-min form "
+                 "(median of 5); the fused Pallas kernels win in-pipeline "
+                 "— banded/count-finalized forms sustain 324 Gdesc-pairs/s "
+                 "(config2 artifact), ~84% of the 384 Gpairs/s v5e bf16 "
+                 "roofline at 512 ops/pair"),
     }))
     return gpairs
 

@@ -69,6 +69,18 @@ def main(argv=None):
             preferred_element_type=jnp.float32)
         return ((BITS - jnp.max(dots, axis=1)) * 0.5).astype(jnp.int32)
 
+    # --- XLA max-dot with the int8->bf16 cast INSIDE the jit (the exact
+    # operand structure of hamming_matrix, minus the [M,N] distance
+    # transform): isolates operand-dtype effects from the reduce shape
+    @jax.jit
+    def xla_i8cast_maxdot(a, b):
+        dots = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        return ((BITS - jnp.max(dots, axis=1)) * 0.5).astype(jnp.int32)
+
     # --- XLA int8 dot: if XLA lowers s8xs8->s32 natively on v5e the MXU
     # peak doubles vs bf16 (394 vs 197 TOPS). Mosaic rejects int8 matmul
     # operands, but XLA itself might not.
@@ -143,6 +155,7 @@ def main(argv=None):
         "xla_minDist": (xla_minDist, sq, st),
         "xla_maxdot": (xla_maxdot, sq_bf, st_bf),
         "xla_i8_maxdot": (xla_i8_maxdot, sq, st),
+        "xla_i8cast_maxdot": (xla_i8cast_maxdot, sq, st),
         "fused_prod": (fused_prod, sq, st),
     }
     for tm in (256, 512, 1024, 2048):
